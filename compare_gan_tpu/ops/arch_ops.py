@@ -1,0 +1,550 @@
+"""Neural-net op library, TPU-native.
+
+Rebuild of compare_gan/architectures/arch_ops.py (758 LoC, TF1) on pure
+JAX/XLA. Key design shifts vs the reference:
+
+* NHWC everywhere, f32 parameters, BN statistics always computed in f32
+  (inputs may be bf16; the MXU path casts around the normalizations like
+  arch_ops.py:291-318 does).
+* Cross-replica batch norm (arch_ops.py:66-119 + tpu/tpu_ops.py:95-125) is
+  *free*: forward math is written in global-batch terms and runs under
+  jit/pjit over a `data` mesh, so XLA lowers the batch-moment reductions to
+  ICI all-reduces. Group-limited BN (tpu_ops.py:75-91 group_assignment) is
+  expressed as `num_batch_groups` — per-batch-subgroup moments, which under
+  contiguous batch sharding is numerically identical to replica subgroups.
+* Stateful ops (spectral-norm `u_var` arch_ops.py:453-535, BN moving
+  averages :66-119, BN accumulators :122-191) carry their state through the
+  core context; `core.apply` returns the updated state and the *caller*
+  decides which forward commits (SURVEY.md §7 "spectral-norm statefulness").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import core
+from compare_gan_tpu.gans import consts
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def _normal_init(stddev):
+    def init(key, shape, dtype):
+        return stddev * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _truncated_normal_init(stddev):
+    def init(key, shape, dtype):
+        # TF truncated_normal: resample beyond 2 sigma; jax provides the
+        # equivalent truncated distribution directly.
+        return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape,
+                                                    dtype)
+    return init
+
+
+def _orthogonal_init(scale=1.0):
+    base = jax.nn.initializers.orthogonal(scale=scale, column_axis=-1)
+
+    def init(key, shape, dtype):
+        if len(shape) < 2:
+            return jax.random.normal(key, shape, dtype)
+        return base(key, shape, dtype)
+    return init
+
+
+def zeros_init():
+    return lambda key, shape, dtype: jnp.zeros(shape, dtype)
+
+
+def ones_init():
+    return lambda key, shape, dtype: jnp.ones(shape, dtype)
+
+
+def constant_init(value):
+    return lambda key, shape, dtype: jnp.full(shape, value, dtype)
+
+
+@gin.configurable("weights")
+def weight_initializer(initializer=consts.NORMAL_INIT, stddev=0.02):
+    """Gin-selected weight init (reference arch_ops.py:46-63, gin name
+    `weights.initializer`)."""
+    if initializer == consts.NORMAL_INIT:
+        return _normal_init(stddev)
+    if initializer == consts.TRUNCATED_INIT:
+        return _truncated_normal_init(stddev)
+    if initializer == consts.ORTHOGONAL_INIT:
+        return _orthogonal_init()
+    raise ValueError(f"Unknown weight initializer {initializer}.")
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(x, epsilon):
+    return x * jax.lax.rsqrt(jnp.maximum(jnp.sum(jnp.square(x)), epsilon))
+
+
+@gin.configurable("spectral_norm")
+def spectral_norm(w, epsilon=1e-12, singular_value="left",
+                  state_name="kernel/u_var"):
+    """Spectral normalization with persisted power-iteration state.
+
+    Matches arch_ops.py:453-535: kernel flattened to (−1, C_out), one power
+    iteration per forward, `u` persisted across steps, u/v gradients stopped
+    but sigma differentiable in w. The u update is recorded via core state;
+    whether it commits is decided by the caller of core.apply.
+    """
+    if w.ndim < 2:
+        raise ValueError("Spectral norm needs a multi-dimensional tensor.")
+    w_mat = jnp.reshape(w, (-1, w.shape[-1]))
+    if singular_value == "auto":
+        singular_value = "left" if w_mat.shape[0] <= w_mat.shape[1] else "right"
+    if singular_value == "left":
+        u_shape = (w_mat.shape[0], 1)
+    else:
+        u_shape = (1, w_mat.shape[1])
+    u = core.get_state(state_name, u_shape, init=_normal_init(1.0),
+                       dtype=w_mat.dtype)
+    # One power-iteration round (sufficient per Miyato et al. 2018).
+    if singular_value == "left":
+        v = _l2_normalize(w_mat.T @ u, epsilon)
+        u = _l2_normalize(w_mat @ v, epsilon)
+    else:
+        v = _l2_normalize(u @ w_mat.T, epsilon)
+        u = _l2_normalize(v @ w_mat, epsilon)
+    core.set_state(state_name, jax.lax.stop_gradient(u))
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    if singular_value == "left":
+        sigma = (u.T @ w_mat @ v)[0, 0]
+    else:
+        sigma = (v @ w_mat @ u.T)[0, 0]
+    return jnp.reshape(w_mat / sigma, w.shape)
+
+
+# ---------------------------------------------------------------------------
+# Linear / conv / deconv
+# ---------------------------------------------------------------------------
+
+
+def linear(x, output_size, scope="linear", stddev=0.02, bias_start=0.0,
+           use_sn=False, use_bias=True):
+    """Dense layer (arch_ops.py:538-556). x: [B, D]."""
+    with core.scope(scope):
+        kernel = core.param("kernel", (x.shape[-1], output_size),
+                            weight_initializer(stddev=stddev))
+        if use_sn:
+            kernel = spectral_norm(kernel)
+        out = jnp.dot(x, kernel.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        if use_bias:
+            bias = core.param("bias", (output_size,),
+                              constant_init(bias_start))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def conv2d(x, output_dim, k_h, k_w, d_h, d_w, stddev=0.02, name="conv2d",
+           use_sn=False, use_bias=True):
+    """SAME conv (arch_ops.py:559-574). x: NHWC, kernel HWIO."""
+    with core.scope(name):
+        w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
+                       weight_initializer(stddev=stddev))
+        if use_sn:
+            w = spectral_norm(w)
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(d_h, d_w), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        if use_bias:
+            bias = core.param("bias", (output_dim,), constant_init(0.0))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+conv1x1 = functools.partial(conv2d, k_h=1, k_w=1, d_h=1, d_w=1)
+
+
+def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
+             name="deconv2d", use_sn=False):
+    """Transposed SAME conv (arch_ops.py:579-592). output_shape: NHWC list.
+
+    Kernel is stored HWOI = (k_h, k_w, C_out, C_in), same layout as the
+    reference's tf.nn.conv2d_transpose kernel, so spectral norm flattens to
+    (-1, C_in) identically.
+    """
+    out_ch = output_shape[-1]
+    with core.scope(name):
+        w = core.param("kernel", (k_h, k_w, out_ch, x.shape[-1]),
+                       weight_initializer(stddev=stddev))
+        if use_sn:
+            w = spectral_norm(w)
+        out = jax.lax.conv_transpose(
+            x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        bias = core.param("bias", (out_ch,), constant_init(0.0))
+        return out + bias.astype(out.dtype)
+
+
+def lrelu(x, leak=0.2):
+    return jnp.maximum(x, leak * x)
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization family
+# ---------------------------------------------------------------------------
+
+
+def _moving_moments_for_inference(mean, variance, is_training, decay):
+    """Moving-average BN stats (arch_ops.py:66-119). State names match the
+    reference's `moving_mean`/`moving_variance` for golden tests."""
+    moving_mean = core.get_state("moving_mean", mean.shape, zeros_init())
+    moving_variance = core.get_state("moving_variance", variance.shape,
+                                     ones_init())
+    if is_training:
+        # assign_moving_average, zero_debias=False:
+        # mv <- mv * decay + value * (1 - decay)
+        core.set_state("moving_mean",
+                       moving_mean * decay + mean * (1.0 - decay))
+        core.set_state("moving_variance",
+                       moving_variance * decay + variance * (1.0 - decay))
+        return mean, variance
+    return moving_mean, moving_variance
+
+
+def _accumulated_moments_for_inference(mean, variance, is_training):
+    """Accumulator BN stats (arch_ops.py:122-191): at eval time, while the
+    int switch `update_accus` is 1, every forward adds the batch moments to
+    accumulators; the normalized output uses accumulated stats. Used by the
+    204,800-sample BN-filling protocol (eval_gan_lib.py:65-92)."""
+    with core.scope("accu"):
+        accu_mean = core.get_state("accu_mean", mean.shape, zeros_init())
+        accu_variance = core.get_state("accu_variance", variance.shape,
+                                       zeros_init())
+        accu_counter = core.get_state("accu_counter", (),
+                                      constant_init(1e-12))
+        update_accus = core.get_state("update_accus", (), zeros_init(),
+                                      dtype=jnp.int32)
+        if is_training:
+            return mean, variance
+        do_update = (update_accus == 1).astype(mean.dtype)
+        new_mean = accu_mean + do_update * mean
+        new_variance = accu_variance + do_update * variance
+        new_counter = accu_counter + do_update
+        core.set_state("accu_mean", new_mean)
+        core.set_state("accu_variance", new_variance)
+        core.set_state("accu_counter", new_counter)
+        return new_mean / new_counter, new_variance / new_counter
+
+
+@gin.configurable("standardize_batch")
+def standardize_batch(x, is_training, decay=0.999, epsilon=1e-3,
+                      data_format="NHWC", use_moving_averages=True,
+                      use_cross_replica_mean=None, num_batch_groups=1):
+    """Normalize by batch moments, no trainable scale/offset
+    (arch_ops.py:194-324).
+
+    TPU-native semantics: moments are over the *global* batch — under pjit
+    with the batch sharded on the `data` mesh axis, XLA lowers these
+    reductions to cross-replica all-reduces over ICI, which is exactly the
+    reference's `use_cross_replica_mean=True` path (tpu_ops.py:95-125)
+    without hand-written collectives. `use_cross_replica_mean` is accepted
+    for config parity; `num_batch_groups > 1` reproduces group-limited BN
+    (tpu_ops.py:75-91): moments per contiguous batch subgroup.
+    """
+    del use_cross_replica_mean  # Global-batch math is always cross-replica.
+    if data_format != "NHWC":
+        raise ValueError("TPU-native rebuild is NHWC only.")
+    if x.ndim not in (2, 4):
+        raise ValueError(f"Expected rank 2 or 4, got {x.ndim}.")
+    in_dtype = x.dtype
+    in_shape = x.shape
+    num_channels = x.shape[-1]
+    if x.ndim == 2:
+        x = x.reshape(-1, 1, 1, num_channels)
+    x32 = x.astype(jnp.float32)
+    if num_batch_groups > 1:
+        b = x32.shape[0]
+        assert b % num_batch_groups == 0, (b, num_batch_groups)
+        xg = x32.reshape(num_batch_groups, b // num_batch_groups,
+                         *x32.shape[1:])
+        mean_g = jnp.mean(xg, axis=(1, 2, 3))
+        var_g = jnp.mean(jnp.square(xg), axis=(1, 2, 3)) - jnp.square(mean_g)
+        # Per-group normalization; inference stats use the group mean.
+        mean_full = jnp.repeat(mean_g, b // num_batch_groups, axis=0)
+        var_full = jnp.repeat(var_g, b // num_batch_groups, axis=0)
+        mean, variance = jnp.mean(mean_g, 0), jnp.mean(var_g, 0)
+    else:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        variance = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+        mean_full = var_full = None
+
+    if use_moving_averages:
+        use_mean, use_var = _moving_moments_for_inference(
+            mean=mean, variance=variance, is_training=is_training,
+            decay=decay)
+    else:
+        use_mean, use_var = _accumulated_moments_for_inference(
+            mean=mean, variance=variance, is_training=is_training)
+
+    if num_batch_groups > 1 and is_training:
+        use_mean = mean_full[:, None, None, :]
+        use_var = var_full[:, None, None, :]
+    out = (x32 - use_mean) * jax.lax.rsqrt(use_var + epsilon)
+    out = out.astype(in_dtype)
+    if len(in_shape) == 2:
+        out = out.reshape(in_shape)
+    return out
+
+
+@gin.configurable("no_batch_norm")
+def no_batch_norm(x, **unused_kwargs):
+    return x
+
+
+@gin.configurable("batch_norm")
+def batch_norm(x, is_training, center=True, scale=True, name="batch_norm"):
+    """BN with trainable gamma/beta (arch_ops.py:327-367)."""
+    with core.scope(name):
+        out = standardize_batch(x, is_training=is_training)
+        num_channels = x.shape[-1]
+        if scale:
+            gamma = core.param("gamma", (num_channels,), ones_init())
+            out = out * gamma.astype(out.dtype)
+        if center:
+            beta = core.param("beta", (num_channels,), zeros_init())
+            out = out + beta.astype(out.dtype)
+        return out
+
+
+@gin.configurable("self_modulated_batch_norm")
+def self_modulated_batch_norm(x, z, is_training, use_sn, center=True,
+                              scale=True, name="batch_norm", num_hidden=32):
+    """Self-modulation: gamma/beta = MLP(z) (arch_ops.py:370-420,
+    arXiv:1810.01365)."""
+    if z is None:
+        raise ValueError("You must provide z for self modulation.")
+    with core.scope(name):
+        out = standardize_batch(x, is_training=is_training)
+        num_channels = x.shape[-1]
+        with core.scope("sbn"):
+            h = z
+            if num_hidden > 0:
+                h = jax.nn.relu(linear(h, num_hidden, scope="hidden",
+                                       use_sn=use_sn))
+            if scale:
+                gamma = linear(h, num_channels, scope="gamma",
+                               bias_start=1.0, use_sn=use_sn)
+                out = out * gamma[:, None, None, :].astype(out.dtype)
+            if center:
+                beta = linear(h, num_channels, scope="beta", use_sn=use_sn)
+                out = out + beta[:, None, None, :].astype(out.dtype)
+            return out
+
+
+@gin.configurable("conditional_batch_norm")
+def conditional_batch_norm(x, y, is_training, use_sn, center=True,
+                           scale=True, name="batch_norm", use_bias=False):
+    """Class-conditional BN: gamma/beta = linear(y) (arch_ops.py:423-445)."""
+    if y is None:
+        raise ValueError("You must provide y for conditional batch norm.")
+    if y.ndim != 2:
+        raise ValueError("Conditioning must have rank 2.")
+    with core.scope(name):
+        out = standardize_batch(x, is_training=is_training)
+        num_channels = x.shape[-1]
+        with core.scope("condition"):
+            if scale:
+                gamma = linear(y, num_channels, scope="gamma", use_sn=use_sn,
+                               use_bias=use_bias)
+                out = out * gamma[:, None, None, :].astype(out.dtype)
+            if center:
+                beta = linear(y, num_channels, scope="beta", use_sn=use_sn,
+                              use_bias=use_bias)
+                out = out + beta[:, None, None, :].astype(out.dtype)
+            return out
+
+
+def layer_norm(x, is_training, scope="LayerNorm"):
+    """Layer norm over all non-batch axes, per-channel gamma/beta
+    (arch_ops.py:448-450 / tf.contrib.layers.layer_norm)."""
+    del is_training
+    with core.scope(scope):
+        num_channels = x.shape[-1]
+        gamma = core.param("gamma", (num_channels,), ones_init())
+        beta = core.param("beta", (num_channels,), zeros_init())
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim))
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + 1e-12)
+        return (out * gamma + beta).astype(x.dtype)
+
+
+def evonorm_s0(x, name="evonorm"):
+    """EvoNorm-S0 (Liu et al. 2020) — BN-free, collective-free normalization;
+    a TPU-native extension (no reference counterpart), useful when
+    cross-replica BN traffic dominates at small per-chip batch."""
+    with core.scope(name):
+        c = x.shape[-1]
+        gamma = core.param("gamma", (c,), ones_init())
+        beta = core.param("beta", (c,), zeros_init())
+        v = core.param("v", (c,), ones_init())
+        x32 = x.astype(jnp.float32)
+        b, h, w, _ = x32.shape
+        groups = min(32, c)
+        xg = x32.reshape(b, h, w, groups, c // groups)
+        std = jnp.sqrt(jnp.var(xg, axis=(1, 2, 4), keepdims=True) + 1e-5)
+        std = jnp.broadcast_to(std, xg.shape).reshape(x32.shape)
+        num = x32 * jax.nn.sigmoid(v * x32)
+        return ((num / std) * gamma + beta).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight normalization (arch_ops.py:600-706)
+# ---------------------------------------------------------------------------
+
+
+def _weight_norm_gb(init_scale, x_init):
+    """Data-dependent g/b init from the init-trace batch (Salimans&Kingma)."""
+    axes = tuple(range(x_init.ndim - 1))
+    m_init = jnp.mean(x_init, axis=axes)
+    v_init = jnp.var(x_init, axis=axes)
+    scale_init = init_scale / jnp.sqrt(v_init + 1e-8)
+    return m_init, scale_init
+
+
+def weight_norm_linear(x, output_size, init=False, init_scale=1.0,
+                       name="wn_linear", stddev=0.02):
+    """Weight-normalized dense (arch_ops.py:600-631)."""
+    with core.scope(name):
+        v = core.param("V", (x.shape[-1], output_size),
+                       _truncated_normal_init(stddev))
+        v_normed = v * jax.lax.rsqrt(jnp.sum(jnp.square(v), 0, keepdims=True))
+        x_init = jnp.dot(x, v_normed, preferred_element_type=jnp.float32)
+        if init and core.is_initializing():
+            m_init, scale_init = _weight_norm_gb(init_scale, x_init)
+            g = core.param("g", (output_size,),
+                           lambda k, s, d: scale_init.astype(d))
+            b = core.param("b", (output_size,),
+                           lambda k, s, d: (-m_init * scale_init).astype(d))
+        else:
+            g = core.param("g", (output_size,), ones_init())
+            b = core.param("b", (output_size,), zeros_init())
+        scaler = g * jax.lax.rsqrt(jnp.sum(jnp.square(v), 0))
+        return scaler[None, :] * jnp.dot(
+            x, v, preferred_element_type=jnp.float32) + b[None, :]
+
+
+def weight_norm_conv2d(x, output_dim, k_h, k_w, d_h, d_w, init=False,
+                       init_scale=1.0, stddev=0.02, name="wn_conv2d"):
+    """Weight-normalized conv (arch_ops.py:634-668)."""
+    with core.scope(name):
+        v = core.param("V", (k_h, k_w, x.shape[-1], output_dim),
+                       _truncated_normal_init(stddev))
+        if init and core.is_initializing():
+            v_norm = v * jax.lax.rsqrt(
+                jnp.sum(jnp.square(v), (0, 1, 2), keepdims=True))
+            x_init = jax.lax.conv_general_dilated(
+                x, v_norm, (d_h, d_w), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            m_init, scale_init = _weight_norm_gb(init_scale, x_init)
+            g = core.param("g", (output_dim,),
+                           lambda k, s, d: scale_init.astype(d))
+            b = core.param("b", (output_dim,),
+                           lambda k, s, d: (-m_init * scale_init).astype(d))
+        else:
+            g = core.param("g", (output_dim,), ones_init())
+            b = core.param("b", (output_dim,), zeros_init())
+        w = g[None, None, None, :] * v * jax.lax.rsqrt(
+            jnp.sum(jnp.square(v), (0, 1, 2), keepdims=True))
+        out = jax.lax.conv_general_dilated(
+            x, w, (d_h, d_w), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b[None, None, None, :]
+
+
+def weight_norm_deconv2d(x, output_dim, k_h, k_w, d_h, d_w, init=False,
+                         init_scale=1.0, stddev=0.02, name="wn_deconv2d"):
+    """Weight-normalized transposed conv (arch_ops.py:671-706)."""
+    with core.scope(name):
+        v = core.param("V", (k_h, k_w, output_dim, x.shape[-1]),
+                       _truncated_normal_init(stddev))
+        v_normed = v * jax.lax.rsqrt(
+            jnp.sum(jnp.square(v), (0, 1, 3), keepdims=True))
+        if init and core.is_initializing():
+            x_init = jax.lax.conv_transpose(
+                x, v_normed, (d_h, d_w), "SAME",
+                dimension_numbers=("NHWC", "HWOI", "NHWC"))
+            m_init, scale_init = _weight_norm_gb(init_scale, x_init)
+            g = core.param("g", (output_dim,),
+                           lambda k, s, d: scale_init.astype(d))
+            b = core.param("b", (output_dim,),
+                           lambda k, s, d: (-m_init * scale_init).astype(d))
+        else:
+            g = core.param("g", (output_dim,), ones_init())
+            b = core.param("b", (output_dim,), zeros_init())
+        w = g[None, None, :, None] * v_normed
+        out = jax.lax.conv_transpose(
+            x, w, (d_h, d_w), "SAME",
+            dimension_numbers=("NHWC", "HWOI", "NHWC"))
+        return out + b[None, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Self-attention (SAGAN non-local block)
+# ---------------------------------------------------------------------------
+
+
+def _max_pool_2x2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def non_local_block(x, name, use_sn):
+    """SAGAN self-attention (arch_ops.py:709-758): theta/phi/g 1x1 convs,
+    2x2 max-pool on phi and g, softmax attention, learned sigma gate.
+
+    The attention matmuls ([B, HW, HW/4]) map directly onto the MXU; phi/g
+    pooling quarters the attention FLOPs exactly as in the reference.
+    """
+    with core.scope(name):
+        b, h, w, num_channels = x.shape
+        attn_ch = num_channels // 8
+        g_ch = num_channels // 2
+
+        theta = conv1x1(x, attn_ch, name="conv2d_theta", use_sn=use_sn,
+                        use_bias=False)
+        theta = theta.reshape(b, h * w, attn_ch)
+
+        phi = conv1x1(x, attn_ch, name="conv2d_phi", use_sn=use_sn,
+                      use_bias=False)
+        phi = _max_pool_2x2(phi).reshape(b, (h // 2) * (w // 2), attn_ch)
+
+        attn = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+
+        g = conv1x1(x, g_ch, name="conv2d_g", use_sn=use_sn, use_bias=False)
+        g = _max_pool_2x2(g).reshape(b, (h // 2) * (w // 2), g_ch)
+
+        attn_g = jnp.einsum("bnm,bmc->bnc", attn, g,
+                            preferred_element_type=jnp.float32)
+        attn_g = attn_g.reshape(b, h, w, g_ch).astype(x.dtype)
+        sigma = core.param("sigma", (), zeros_init())
+        attn_g = conv1x1(attn_g, num_channels, name="conv2d_attn_g",
+                         use_sn=use_sn, use_bias=False)
+        return x + sigma.astype(x.dtype) * attn_g

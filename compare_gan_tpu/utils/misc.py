@@ -1,0 +1,78 @@
+"""Misc utilities.
+
+Rebuilds compare_gan/utils.py (kwarg filtering, parameter overview) and
+compare_gan/gans/utils.py (rotate_images, image grids) as pure JAX/NumPy.
+"""
+
+from __future__ import annotations
+
+import inspect
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def call_with_accepted_args(fn, **kwargs):
+    """Call fn with only the kwargs its signature accepts
+    (compare_gan/utils.py:92-96) — lets gin configs target any fn."""
+    target = fn
+    # Unwrap gin-configurable wrappers so we see the real signature.
+    while hasattr(target, "__wrapped_fn__"):
+        target = target.__wrapped_fn__
+    if inspect.isclass(target):
+        target = target.__init__
+    sig = inspect.signature(target)
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD
+           for p in sig.parameters.values()):
+        return fn(**kwargs)
+    accepted = {k: v for k, v in kwargs.items() if k in sig.parameters}
+    return fn(**accepted)
+
+
+def rotate_images(images, rot90_scalars=(0, 1, 2, 3)):
+    """Return stacked copies of the batch rotated by 0/90/180/270 degrees
+    (compare_gan/gans/utils.py:38-50): output batch = 4x input batch,
+    grouped by rotation. Pure transpose/flip — VPU-only, no gathers."""
+    results = [images]
+    if 1 in rot90_scalars:
+        results.append(jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=1))
+    if 2 in rot90_scalars:
+        results.append(jnp.flip(jnp.flip(images, axis=1), axis=2))
+    if 3 in rot90_scalars:
+        results.append(jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=2))
+    return jnp.concatenate(results, axis=0)
+
+
+def image_grid(images, grid_shape=None):
+    """Tile [N, H, W, C] into one [gh*H, gw*W, C] image (summaries,
+    modular_gan.py:308-343)."""
+    images = np.asarray(images)
+    n, h, w, c = images.shape
+    if grid_shape is None:
+        gw = int(math.ceil(math.sqrt(n)))
+        gh = int(math.ceil(n / gw))
+    else:
+        gh, gw = grid_shape
+    pad = gh * gw - n
+    if pad:
+        images = np.concatenate(
+            [images, np.zeros((pad, h, w, c), images.dtype)], 0)
+    return (images.reshape(gh, gw, h, w, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(gh * h, gw * w, c))
+
+
+def get_parameter_overview(params: Dict[str, jax.Array],
+                           include_stats: bool = False) -> str:
+    """Markdown-ish table of variables (compare_gan/utils.py:99-175)."""
+    rows, total = [], 0
+    for name in sorted(params):
+        v = params[name]
+        n = int(np.prod(v.shape)) if v.shape else 1
+        total += n
+        rows.append(f"| {name} | {tuple(v.shape)} | {n} |")
+    header = "| Name | Shape | Size |\n|---|---|---|\n"
+    return header + "\n".join(rows) + f"\n\nTotal: {total:,}"

@@ -1,0 +1,137 @@
+"""Tests for the functional core and the gin-style config system."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import core
+
+
+def _mlp(x):
+    with core.scope("net"):
+        w1 = core.param("l1/kernel", (x.shape[-1], 8),
+                        lambda k, s, d: jax.random.normal(k, s, d))
+        h = jnp.tanh(x @ w1)
+        w2 = core.param("l2/kernel", (8, 1),
+                        lambda k, s, d: jax.random.normal(k, s, d))
+        counter = core.get_state("counter", (),
+                                 lambda k, s, d: jnp.zeros(s, d))
+        core.set_state("counter", counter + 1.0)
+        return h @ w2
+
+
+class TestCore:
+    def test_init_creates_named_params(self):
+        x = jnp.ones((4, 3))
+        out, params, state = core.init(_mlp, jax.random.PRNGKey(0), x)
+        assert set(params) == {"net/l1/kernel", "net/l2/kernel"}
+        assert set(state) == {"net/counter"}
+        assert out.shape == (4, 1)
+
+    def test_apply_pure_and_state_threading(self):
+        x = jnp.ones((4, 3))
+        _, params, state = core.init(_mlp, jax.random.PRNGKey(0), x)
+        assert state["net/counter"] == 0.0  # init keeps initial value
+        out1, state1 = core.apply(_mlp, params, state, x)
+        out2, state2 = core.apply(_mlp, params, state1, x)
+        assert state1["net/counter"] == 1.0
+        assert state2["net/counter"] == 2.0
+        np.testing.assert_allclose(out1, out2)  # params unchanged => same out
+
+    def test_apply_under_jit_and_grad(self):
+        x = jnp.ones((4, 3))
+        _, params, state = core.init(_mlp, jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def loss_fn(params, state, x):
+            out, new_state = core.apply(_mlp, params, state, x)
+            return jnp.mean(out ** 2), new_state
+
+        grads = jax.grad(lambda p: loss_fn(p, state, x)[0])(params)
+        assert set(grads) == set(params)
+        assert np.isfinite(jax.tree.leaves(grads)[0]).all()
+
+    def test_missing_param_error(self):
+        x = jnp.ones((4, 3))
+        _, params, state = core.init(_mlp, jax.random.PRNGKey(0), x)
+        bad = {k: v for k, v in params.items() if "l2" not in k}
+        with pytest.raises(KeyError, match="net/l2/kernel"):
+            core.apply(_mlp, bad, state, x)
+
+    def test_filter_prefix(self):
+        tree = {"generator/a": 1, "generator/b": 2, "discriminator/a": 3}
+        assert core.filter_prefix(tree, "generator") == {
+            "generator/a": 1, "generator/b": 2}
+
+    def test_deterministic_init(self):
+        x = jnp.ones((2, 3))
+        _, p1, _ = core.init(_mlp, jax.random.PRNGKey(7), x)
+        _, p2, _ = core.init(_mlp, jax.random.PRNGKey(7), x)
+        for k in p1:
+            np.testing.assert_array_equal(p1[k], p2[k])
+
+
+@gin.configurable("test_fn")
+def _test_fn(a=1, b=2, c="x"):
+    return a, b, c
+
+
+@gin.configurable("other_fn")
+def _other_fn(fn=None):
+    return fn
+
+
+class TestConfig:
+    def test_bind_and_call(self):
+        gin.parse_config("test_fn.a = 10\ntest_fn.c = 'hello'")
+        assert _test_fn() == (10, 2, "hello")
+
+    def test_explicit_overrides_binding(self):
+        gin.parse_config("test_fn.a = 10")
+        assert _test_fn(a=5) == (5, 2, "x")
+
+    def test_reference(self):
+        gin.parse_config("other_fn.fn = @test_fn")
+        fn = _other_fn()
+        assert fn() == (1, 2, "x")
+
+    def test_evaluated_reference(self):
+        gin.parse_config("test_fn.a = 42\nother_fn.fn = @test_fn()")
+        assert _other_fn() == (42, 2, "x")
+
+    def test_macro(self):
+        gin.parse_config("lr = 0.001\ntest_fn.a = %lr")
+        assert _test_fn()[0] == 0.001
+
+    def test_bad_param_raises(self):
+        gin.parse_config("test_fn.nonexistent = 3")
+        with pytest.raises(gin.ConfigError):
+            _test_fn()
+
+    def test_complex_values(self):
+        gin.parse_config(
+            "test_fn.a = [1, 2, 3]\ntest_fn.b = (4, 'y')\n"
+            "test_fn.c = {'k': 1e-4}")
+        a, b, c = _test_fn()
+        assert a == [1, 2, 3] and b == (4, "y") and c == {"k": 1e-4}
+
+    def test_multiline_value(self):
+        gin.parse_config("test_fn.a = [1,\n  2,\n  3]")
+        assert _test_fn()[0] == [1, 2, 3]
+
+    def test_comments_and_imports(self):
+        gin.parse_config(
+            "# comment\nimport compare_gan.gans\ntest_fn.a = 3  # inline")
+        assert _test_fn()[0] == 3
+
+    def test_operative_config_str(self):
+        gin.parse_config("test_fn.a = 10")
+        _test_fn()
+        assert "test_fn.a = 10" in gin.operative_config_str()
+
+    def test_query(self):
+        gin.parse_config("test_fn.a = 10")
+        assert gin.query("test_fn.a") == 10
+        assert gin.query("test_fn.zz", default=3) == 3
