@@ -1,0 +1,246 @@
+"""BigGAN-deep (rebuild of compare_gan/architectures/resnet_biggan_deep.py;
+arXiv:1809.11096 Tables 7-9): bottleneck blocks 1x1->3x3->3x3->1x1,
+identity-preserving shortcuts (channel drop in G / concat channel add in D),
+attention fixed at 64x64, z not chunked, ch=128 default."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import core
+from compare_gan_tpu.architectures import abstract_arch
+from compare_gan_tpu.architectures import resnet_ops
+from compare_gan_tpu.ops import arch_ops as ops
+
+
+@gin.configurable("BigGanDeepResNetBlock")
+class BigGanDeepResNetBlock:
+    """Bottleneck block with identity-preserving skips
+    (resnet_biggan_deep.py:60-180)."""
+
+    def __init__(self, name, in_channels, out_channels, scale,
+                 spectral_norm=False, batch_norm=None):
+        assert scale in ["up", "down", "none"]
+        self._name = name
+        self._in_channels = in_channels
+        self._out_channels = out_channels
+        self._scale = scale
+        self._spectral_norm = spectral_norm
+        self.batch_norm = batch_norm
+
+    def __call__(self, inputs, z, y, is_training):
+        return self.apply(inputs=inputs, z=z, y=y, is_training=is_training)
+
+    def _shortcut(self, inputs):
+        with core.scope("shortcut"):
+            shortcut = inputs
+            num_channels = inputs.shape[-1]
+            if num_channels > self._out_channels:
+                assert self._scale == "up"
+                shortcut = shortcut[:, :, :, : self._out_channels]
+            if self._scale == "up":
+                shortcut = resnet_ops.unpool(shortcut)
+            if self._scale == "down":
+                shortcut = resnet_ops.avg_pool_2x2(shortcut)
+            if num_channels < self._out_channels:
+                assert self._scale == "down"
+                num_missing = self._out_channels - num_channels
+                added = ops.conv1x1(shortcut, num_missing,
+                                    name="add_channels",
+                                    use_sn=self._spectral_norm)
+                shortcut = jnp.concatenate([shortcut, added], axis=-1)
+            return shortcut
+
+    def apply(self, inputs, z, y, is_training):
+        if inputs.shape[-1] != self._in_channels:
+            raise ValueError(
+                f"Unexpected number of input channels (expected "
+                f"{self._in_channels}, got {inputs.shape[-1]}).")
+        bottleneck = max(self._in_channels, self._out_channels) // 4
+        bn = functools.partial(self.batch_norm, z=z, y=y,
+                               is_training=is_training)
+        conv1x1 = functools.partial(ops.conv1x1, use_sn=self._spectral_norm)
+        conv3x3 = functools.partial(ops.conv2d, k_h=3, k_w=3, d_h=1, d_w=1,
+                                    use_sn=self._spectral_norm)
+        with core.scope(self._name):
+            outputs = inputs
+            with core.scope("conv1"):
+                outputs = bn(outputs, name="bn")
+                outputs = jax.nn.relu(outputs)
+                outputs = conv1x1(outputs, bottleneck, name="1x1_conv")
+            with core.scope("conv2"):
+                outputs = bn(outputs, name="bn")
+                outputs = jax.nn.relu(outputs)
+                if self._scale == "up":
+                    outputs = resnet_ops.unpool(outputs)
+                outputs = conv3x3(outputs, bottleneck, name="3x3_conv")
+            with core.scope("conv3"):
+                outputs = bn(outputs, name="bn")
+                outputs = jax.nn.relu(outputs)
+                outputs = conv3x3(outputs, bottleneck, name="3x3_conv")
+            with core.scope("conv4"):
+                outputs = bn(outputs, name="bn")
+                outputs = jax.nn.relu(outputs)
+                if self._scale == "down":
+                    outputs = resnet_ops.avg_pool_2x2(outputs)
+                outputs = conv1x1(outputs, self._out_channels,
+                                  name="1x1_conv")
+            return outputs + self._shortcut(inputs)
+
+
+@gin.configurable("resnet_biggan_deep.Generator")
+class Generator(abstract_arch.AbstractGenerator):
+    """BigGAN-deep generator (resnet_biggan_deep.py:183-310)."""
+
+    def __init__(self, ch=128, embed_y=True, embed_y_dim=128,
+                 experimental_fast_conv_to_rgb=False, **kwargs):
+        super().__init__(**kwargs)
+        self._ch = ch
+        self._embed_y = embed_y
+        self._embed_y_dim = embed_y_dim
+        self._experimental_fast_conv_to_rgb = experimental_fast_conv_to_rgb
+
+    def _resnet_block(self, name, in_channels, out_channels, scale):
+        if scale not in ["up", "none"]:
+            raise ValueError(f"Unknown G block scaling: {scale}.")
+        return BigGanDeepResNetBlock(
+            name=name, in_channels=in_channels, out_channels=out_channels,
+            scale=scale, spectral_norm=self._spectral_norm,
+            batch_norm=self.batch_norm)
+
+    def _get_in_out_channels(self):
+        resolution = self._image_shape[0]
+        if resolution == 512:
+            multipliers = 4 * [16] + 4 * [8] + [4, 4, 2, 2, 1, 1, 1]
+        elif resolution == 256:
+            multipliers = 4 * [16] + 4 * [8] + [4, 4, 2, 2, 1]
+        elif resolution == 128:
+            multipliers = 4 * [16] + 2 * [8] + [4, 4, 2, 2, 1]
+        elif resolution == 64:
+            multipliers = 4 * [16] + 2 * [8] + [4, 4, 2]
+        elif resolution == 32:
+            multipliers = 8 * [4]
+        else:
+            raise ValueError(f"Unsupported resolution: {resolution}")
+        in_channels = [self._ch * c for c in multipliers[:-1]]
+        out_channels = [self._ch * c for c in multipliers[1:]]
+        return in_channels, out_channels
+
+    def apply(self, z, y, is_training):
+        seed_size = 4
+        if self._embed_y:
+            y = ops.linear(y, self._embed_y_dim, scope="embed_y",
+                           use_sn=False, use_bias=False)
+        if y is not None:
+            y = jnp.concatenate([z, y], axis=1)
+            z = y
+        in_channels, out_channels = self._get_in_out_channels()
+        num_blocks = len(in_channels)
+        net = ops.linear(z, in_channels[0] * seed_size * seed_size,
+                         scope="fc_noise", use_sn=self._spectral_norm)
+        net = net.reshape(-1, seed_size, seed_size, in_channels[0])
+        for block_idx in range(num_blocks):
+            scale = "none" if block_idx % 2 == 0 else "up"
+            block = self._resnet_block(
+                name=f"B{block_idx + 1}",
+                in_channels=in_channels[block_idx],
+                out_channels=out_channels[block_idx], scale=scale)
+            net = block(net, z=z, y=y, is_training=is_training)
+            if scale == "up" and net.shape[1] == 64:
+                net = ops.non_local_block(net, "non_local_block",
+                                          use_sn=self._spectral_norm)
+        net = ops.batch_norm(net, is_training=is_training, name="final_norm")
+        net = jax.nn.relu(net)
+        colors = self._image_shape[2]
+        if self._experimental_fast_conv_to_rgb:
+            # Padding C_out to 128 keeps the last conv MXU-aligned (lane
+            # dim 128); channels beyond `colors` are dropped.
+            net = ops.conv2d(net, output_dim=128, k_h=3, k_w=3, d_h=1,
+                             d_w=1, name="final_conv",
+                             use_sn=self._spectral_norm)
+            net = net[:, :, :, :colors]
+        else:
+            net = ops.conv2d(net, output_dim=colors, k_h=3, k_w=3, d_h=1,
+                             d_w=1, name="final_conv",
+                             use_sn=self._spectral_norm)
+        return (jnp.tanh(net) + 1.0) / 2.0
+
+
+@gin.configurable("resnet_biggan_deep.Discriminator")
+class Discriminator(abstract_arch.AbstractDiscriminator):
+    """BigGAN-deep discriminator (resnet_biggan_deep.py:313-433)."""
+
+    def __init__(self, ch=128, blocks_with_attention="B1", project_y=True,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self._ch = ch
+        self._blocks_with_attention = set(blocks_with_attention.split(","))
+        self._project_y = project_y
+
+    def _resnet_block(self, name, in_channels, out_channels, scale):
+        if scale not in ["down", "none"]:
+            raise ValueError(f"Unknown D block scaling: {scale}.")
+        return BigGanDeepResNetBlock(
+            name=name, in_channels=in_channels, out_channels=out_channels,
+            scale=scale, spectral_norm=self._spectral_norm,
+            batch_norm=self.batch_norm)
+
+    def _get_in_out_channels(self, colors, resolution):
+        if colors not in [1, 3]:
+            raise ValueError(f"Unsupported color channels: {colors}")
+        if resolution == 512:
+            multipliers = [1, 1, 1, 2, 2, 4, 4] + 4 * [8] + 4 * [16]
+        elif resolution == 256:
+            multipliers = [1, 2, 2, 4, 4] + 4 * [8] + 4 * [16]
+        elif resolution == 128:
+            multipliers = [1, 2, 2, 4, 4] + 2 * [8] + 4 * [16]
+        elif resolution == 64:
+            multipliers = [2, 4, 4] + 2 * [8] + 4 * [16]
+        elif resolution == 32:
+            multipliers = 8 * [2]
+        else:
+            raise ValueError(f"Unsupported resolution: {resolution}")
+        in_channels = [self._ch * c for c in multipliers[:-1]]
+        out_channels = [self._ch * c for c in multipliers[1:]]
+        return in_channels, out_channels
+
+    def apply(self, x, y, is_training):
+        resnet_ops.validate_image_inputs(x.shape)
+        in_channels, out_channels = self._get_in_out_channels(
+            colors=x.shape[-1], resolution=x.shape[1])
+        num_blocks = len(in_channels)
+        net = ops.conv2d(x, output_dim=in_channels[0], k_h=3, k_w=3,
+                         d_h=1, d_w=1, name="initial_conv",
+                         use_sn=self._spectral_norm)
+        for block_idx in range(num_blocks):
+            scale = "down" if block_idx % 2 == 0 else "none"
+            block = self._resnet_block(
+                name=f"B{block_idx + 1}",
+                in_channels=in_channels[block_idx],
+                out_channels=out_channels[block_idx], scale=scale)
+            net = block(net, z=None, y=y, is_training=is_training)
+            if scale == "none" and net.shape[1] == 64:
+                net = ops.non_local_block(net, "non_local_block",
+                                          use_sn=self._spectral_norm)
+        net = jax.nn.relu(net)
+        h = jnp.sum(net, axis=(1, 2))
+        out_logit = ops.linear(h, 1, scope="final_fc",
+                               use_sn=self._spectral_norm)
+        if self._project_y:
+            if y is None:
+                raise ValueError("You must provide class information y.")
+            with core.scope("embedding_fc"):
+                y_embedding_dim = out_channels[-1]
+                kernel = core.param(
+                    "kernel", (y.shape[1], y_embedding_dim),
+                    jax.nn.initializers.glorot_normal())
+                if self._spectral_norm:
+                    kernel = ops.spectral_norm(kernel)
+                embedded_y = jnp.dot(y, kernel,
+                                     preferred_element_type=jnp.float32)
+                out_logit += jnp.sum(embedded_y * h, axis=1, keepdims=True)
+        return jax.nn.sigmoid(out_logit), out_logit, h
