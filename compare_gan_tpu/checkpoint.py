@@ -1,0 +1,153 @@
+"""Checkpointing: async, step-indexed, pytree-native.
+
+Rebuild of the reference's TF-Saver conventions (main.py:83-84 save every
+5000 steps, keep max 1000; hooks.py:28-46 async saver). A checkpoint is a
+single `.npz` holding every leaf of the TrainState pytree keyed by its tree
+path, so EMA shadows, BN accumulators, SN u vectors and both optimizer
+states ride along (reference: EMA/accu vars live in checkpoints,
+modular_gan_test.py:131-140, runner_lib_test.py:250-255).
+
+File layout mirrors TF: `<model_dir>/model.ckpt-<step>.npz` plus a
+`checkpoint` pointer file listing all retained checkpoints, so the
+TaskManager's checkpoint-diffing logic (runner_lib.py:137-180) translates
+directly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"model\.ckpt-(\d+)\.npz$")
+
+
+def _leaf_dict(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
+
+
+def checkpoint_path(model_dir: str, step: int) -> str:
+    return os.path.join(model_dir, f"model.ckpt-{step}.npz")
+
+
+def step_of(path: str) -> int:
+    m = _CKPT_RE.search(path)
+    if not m:
+        raise ValueError(f"Not a checkpoint path: {path}")
+    return int(m.group(1))
+
+
+def save_checkpoint(model_dir: str, tree, step: int,
+                    keep_checkpoint_max: int = 1000) -> str:
+    """Write atomically (tmp+rename), update the pointer file, GC old."""
+    os.makedirs(model_dir, exist_ok=True)
+    path = checkpoint_path(model_dir, step)
+    leaves = {k: np.asarray(v) for k, v in _leaf_dict(tree).items()}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **leaves)
+    os.replace(tmp, path)
+    _update_pointer(model_dir, keep_checkpoint_max)
+    return path
+
+
+def _update_pointer(model_dir: str, keep_max: int) -> None:
+    ckpts = sorted(
+        (p for p in os.listdir(model_dir) if _CKPT_RE.search(p)),
+        key=lambda p: step_of(p))
+    while len(ckpts) > keep_max:
+        victim = ckpts.pop(0)
+        try:
+            os.remove(os.path.join(model_dir, victim))
+        except OSError:
+            pass
+    with open(os.path.join(model_dir, "checkpoint"), "w") as f:
+        if ckpts:
+            f.write(f"model_checkpoint_path: \"{ckpts[-1]}\"\n")
+            for c in ckpts:
+                f.write(f"all_model_checkpoint_paths: \"{c}\"\n")
+
+
+def all_checkpoints(model_dir: str) -> List[str]:
+    """All retained checkpoint paths, ascending by step (the reference's
+    checkpoint_state.all_model_checkpoint_paths)."""
+    pointer = os.path.join(model_dir, "checkpoint")
+    if not os.path.exists(pointer):
+        return []
+    out = []
+    with open(pointer) as f:
+        for line in f:
+            if line.startswith("all_model_checkpoint_paths:"):
+                name = line.split('"')[1]
+                out.append(os.path.join(model_dir, name))
+    return [p for p in out if os.path.exists(p)]
+
+
+def latest_checkpoint(model_dir: str) -> Optional[str]:
+    ckpts = all_checkpoints(model_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path: str, template):
+    """Restore into the structure of `template` (same config ⇒ same tree,
+    like TF Saver restoring into an identical graph)."""
+    with np.load(path) as data:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for key_path, leaf in flat:
+            key = jax.tree_util.keystr(key_path)
+            if key not in data:
+                raise KeyError(
+                    f"Checkpoint {path} is missing leaf {key} — was it "
+                    f"written with a different model config?")
+            value = data[key]
+            leaves.append(np.asarray(value, dtype=np.asarray(leaf).dtype)
+                          .reshape(np.shape(leaf)))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class AsyncCheckpointSaver:
+    """Background-thread saver (reference AsyncCheckpointSaverHook,
+    hooks.py:28-46): device→host transfer happens on the caller, the file
+    write happens off-thread; save steps realign to multiples of
+    `save_checkpoint_steps` after restarts."""
+
+    def __init__(self, model_dir: str, save_checkpoint_steps: int = 5000,
+                 keep_checkpoint_max: int = 1000):
+        self._model_dir = model_dir
+        self._every = save_checkpoint_steps
+        self._keep = keep_checkpoint_max
+        self._thread: Optional[threading.Thread] = None
+        self._error = None
+
+    def should_save(self, step: int) -> bool:
+        return step > 0 and step % self._every == 0
+
+    def save(self, tree, step: int, blocking: bool = False) -> None:
+        self.join()  # One in-flight save at a time.
+        host_tree = jax.tree_util.tree_map(np.asarray, tree)  # D2H now.
+
+        def work():
+            try:
+                save_checkpoint(self._model_dir, host_tree, step, self._keep)
+            except Exception as e:  # pragma: no cover
+                self._error = e
+
+        if blocking:
+            work()
+        else:
+            self._thread = threading.Thread(target=work, daemon=True)
+            self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err

@@ -195,9 +195,26 @@ def get_configurable(name: str):
         raise ConfigError(f"No configurable named '{name}'.") from None
 
 
+_SCOPE_ALIASES: Dict[str, str] = {}
+
+
+def add_scope_alias(alias: str, canonical: str) -> None:
+    """Make bindings under `alias.param` land on `canonical.param` (lets
+    reference configs bind e.g. tf.train.AdamOptimizer.beta1)."""
+    with _lock:
+        _SCOPE_ALIASES[alias] = canonical
+
+
 def bind(scope_param: str, value: Any) -> None:
     """bind('ModularGAN.g_lr', 1e-4)"""
     scope, param = scope_param.rsplit(".", 1)
+    # Dotted scopes: longest registered alias wins (e.g. the scope of
+    # 'tf.train.AdamOptimizer.beta1' is 'tf.train.AdamOptimizer').
+    for alias in sorted(_SCOPE_ALIASES, key=len, reverse=True):
+        if scope_param.startswith(alias + "."):
+            scope = _SCOPE_ALIASES[alias]
+            param = scope_param[len(alias) + 1:]
+            break
     with _lock:
         _BINDINGS.setdefault(scope, {})[param] = value
 

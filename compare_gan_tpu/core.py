@@ -44,6 +44,8 @@ class _Ctx:
     rng_counter: int = 0
     # Orders in which variables were created (stable iteration for tests).
     created: Optional[list] = None
+    # When True, set_state is a no-op (reads still see latest commits).
+    freeze_state: bool = False
 
 
 def _ctx() -> _Ctx:
@@ -140,9 +142,27 @@ def get_state(name: str, shape=None, init: Optional[Callable] = None,
         raise KeyError(f"State '{full}' missing from state pytree.") from None
 
 
+@contextlib.contextmanager
+def no_state_updates():
+    """Suppress set_state commits within scope. Used for forwards that must
+    not commit stateful updates — e.g. the discriminator forward inside a
+    gradient-penalty's inner jax.grad, whose values belong to a nested trace
+    (reference: racing assigns, arch_ops.py:516-517; we pick the D-step
+    forward as the committing one, SURVEY.md §7)."""
+    ctx = _ctx()
+    prev = ctx.freeze_state
+    ctx.freeze_state = True
+    try:
+        yield
+    finally:
+        ctx.freeze_state = prev
+
+
 def set_state(name: str, value: Array) -> None:
     full = _full_name(name)
     ctx = _ctx()
+    if ctx.freeze_state:
+        return
     if ctx.mode == "init":
         # During init, record the post-forward value as the initial state
         # only if the variable exists; creation must go through get_state.

@@ -1,0 +1,621 @@
+"""Datasets: host-side input pipeline, TPU-native framing.
+
+Rebuild of compare_gan/datasets.py (648 LoC). The reference wraps TFDS in an
+11-stage tf.data pipeline (datasets.py:66-90) feeding TPUEstimator infeed.
+This rebuild is a dependency-light host pipeline that produces sharded
+NumPy batches for `jax.device_put` double-buffering:
+
+* Deterministic per-host seeding: effective seed = seed + host_id
+  (reference datasets.py:147-172) so each host draws a distinct but
+  reproducible stream.
+* Fake in-memory dataset behind `fake_dataset=True` for tests
+  (reference datasets.py:52-54,136-145; `--data_fake_dataset`).
+* Real data from either `.npz` shards or TFRecord files under
+  `$COMPARE_GAN_DATA_DIR/<tfds_name>/` — TFRecords use the standard TFDS
+  on-disk layout so reference users' prepared data works unchanged.
+* Label replacement / soft labels from sidecar `.npz`
+  (reference datasets.py:174-223,587-617).
+* The z / sampled-label injection that the reference does in the input
+  pipeline (`_preprocess_fn`, modular_gan.py:393-408) is NOT done here:
+  the trainer draws z and labels on device from the deterministic
+  per-step RNG stream (ops/rng.py), which removes 2·z_dim·B bytes/step of
+  infeed traffic and keeps determinism mesh-size-invariant.
+
+Registry names match the reference's DATASETS (datasets.py:620-640), plus
+`celeb_a_hq_128` (referenced by sndcgan_celebahq128.gin but missing from
+the reference registry — README.md:121-123).
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from compare_gan_tpu import config as gin
+
+# Process-level options (reference: absl flags, datasets.py:46-63).
+FAKE_DATASET = False  # --data_fake_dataset
+DATA_DIR = os.environ.get("COMPARE_GAN_DATA_DIR", "/tmp/compare_gan_data")
+SHUFFLE_BUFFER_SIZE = 10000
+
+
+def set_fake_dataset(value: bool) -> None:
+    global FAKE_DATASET
+    FAKE_DATASET = bool(value)
+
+
+# ---------------------------------------------------------------------------
+# Record sources
+# ---------------------------------------------------------------------------
+
+
+class FakeSource:
+    """Deterministic random records (reference datasets.py:136-145).
+
+    Per-index determinism: record i is a pure function of (seed, split, i),
+    so shuffling order does not change pixel content.
+    """
+
+    def __init__(self, shape, num_classes, num_examples=128):
+        self._shape = tuple(shape)
+        self._num_classes = num_classes
+        self._num_examples = num_examples
+
+    def num_examples(self, split):
+        return self._num_examples
+
+    def get(self, split, index, seed):
+        rng = np.random.Generator(np.random.Philox(
+            key=abs(hash((split, seed))) % (2**63), counter=index))
+        image = rng.random(self._shape, dtype=np.float32)
+        label = int(rng.integers(0, max(self._num_classes, 1)))
+        return image, label
+
+
+class NpzSource:
+    """In-memory arrays from `<data_dir>/<name>/<split>.npz` with keys
+    `images` (uint8 [N,H,W,C]) and `labels` (int [N])."""
+
+    def __init__(self, directory):
+        self._dir = directory
+        self._cache = {}
+
+    def _load(self, split):
+        if split not in self._cache:
+            with np.load(os.path.join(self._dir, f"{split}.npz")) as data:
+                self._cache[split] = (np.asarray(data["images"]),
+                                      np.asarray(data["labels"]))
+        return self._cache[split]
+
+    def num_examples(self, split):
+        return len(self._load(split)[0])
+
+    def get(self, split, index, seed):
+        images, labels = self._load(split)
+        image = images[index]
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        return image, int(labels[index])
+
+
+class TFRecordSource:
+    """TFDS-layout TFRecord shards: `<data_dir>/<name>/<split>*.tfrecord*`.
+
+    Parsing uses TensorFlow (host-only, never in the compute path) to decode
+    tf.train.Example records with `image` (encoded) and `label` features —
+    the layout `tfds build` produces, so data prepared for the reference
+    framework loads unchanged.
+    """
+
+    def __init__(self, directory):
+        self._dir = directory
+        self._index = {}
+
+    def _files(self, split):
+        pats = [os.path.join(self._dir, f"{split}*.tfrecord*"),
+                os.path.join(self._dir, f"*-{split}.tfrecord-*")]
+        files = sorted(set(sum((glob.glob(p) for p in pats), [])))
+        if not files:
+            raise FileNotFoundError(
+                f"No TFRecord shards for split '{split}' in {self._dir}.")
+        return files
+
+    def _ensure_index(self, split):
+        """Build an offset index so `get(index)` is random-access."""
+        if split in self._index:
+            return
+        import struct
+        offsets = []
+        for path in self._files(split):
+            with open(path, "rb") as f:
+                while True:
+                    pos = f.tell()
+                    header = f.read(12)
+                    if len(header) < 12:
+                        break
+                    (length,) = struct.unpack("<Q", header[:8])
+                    offsets.append((path, pos))
+                    f.seek(length + 4, os.SEEK_CUR)
+        self._index[split] = offsets
+
+    def num_examples(self, split):
+        self._ensure_index(split)
+        return len(self._index[split])
+
+    def get(self, split, index, seed):
+        import struct
+        import tensorflow as tf
+        self._ensure_index(split)
+        path, pos = self._index[split][index]
+        with open(path, "rb") as f:
+            f.seek(pos)
+            (length,) = struct.unpack("<Q", f.read(8))
+            f.seek(4, os.SEEK_CUR)  # crc of length
+            payload = f.read(length)
+        ex = tf.train.Example.FromString(payload)
+        feats = ex.features.feature
+        if "image" in feats and feats["image"].bytes_list.value:
+            encoded = feats["image"].bytes_list.value[0]
+            image = tf.io.decode_image(encoded).numpy()
+        elif "image/encoded" in feats:
+            encoded = feats["image/encoded"].bytes_list.value[0]
+            image = tf.io.decode_image(encoded).numpy()
+        else:
+            raise ValueError(f"Record in {path} lacks an image feature.")
+        label = 0
+        for key in ("label", "image/class/label"):
+            if key in feats and feats[key].int64_list.value:
+                label = int(feats[key].int64_list.value[0])
+                break
+        if image.ndim == 2:
+            image = image[:, :, None]
+        return image.astype(np.float32) / 255.0, label
+
+
+# ---------------------------------------------------------------------------
+# Transforms (reference datasets.py:348-533)
+# ---------------------------------------------------------------------------
+
+
+def _resize_area(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Area resize on host (matches tf.image.resize area semantics closely
+    enough for data prep; exactness is not part of the training contract)."""
+    from PIL import Image
+    h, w = size
+    arr = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        pil = Image.fromarray(arr[:, :, 0], mode="L")
+    else:
+        pil = Image.fromarray(arr)
+    out = np.asarray(pil.resize((w, h), Image.BOX), dtype=np.float32) / 255.0
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
+def transform_none(image, label, seed, rng):
+    return image, label
+
+
+def transform_celeba(image, label, seed, rng, size=64):
+    """160px center crop then resize (reference datasets.py:387-396)."""
+    h, w = image.shape[:2]
+    if h > 160 and w > 160:
+        top, left = (h - 160) // 2, (w - 160) // 2
+        image = image[top:top + 160, left:left + 160]
+    return _resize_area(image, (size, size)), label
+
+
+def transform_resize(image, label, seed, rng, size):
+    if image.shape[0] != size or image.shape[1] != size:
+        image = _resize_area(image, (size, size))
+    return image, label
+
+
+def transform_random_crop(image, label, seed, rng, size):
+    """Random square crop then resize (reference `random_crop`
+    datasets.py:455-468)."""
+    h, w = image.shape[:2]
+    s = min(h, w)
+    top = int(rng.integers(0, h - s + 1))
+    left = int(rng.integers(0, w - s + 1))
+    return _resize_area(image[top:top + s, left:left + s], (size, size)), label
+
+
+def transform_middle_crop(image, label, seed, rng, size):
+    """Center square crop then resize (reference `middle_crop`
+    datasets.py:471-481)."""
+    h, w = image.shape[:2]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return _resize_area(image[top:top + s, left:left + s], (size, size)), label
+
+
+def transform_distorted_crop(image, label, seed, rng, size,
+                             area_range=(0.05, 1.0),
+                             aspect_ratio_range=(3 / 4, 4 / 3)):
+    """Inception-style distorted bounding-box crop (reference
+    `train_imagenet_transform` datasets.py:435-452)."""
+    h, w = image.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = float(rng.uniform(*area_range)) * area
+        ar = float(np.exp(rng.uniform(np.log(aspect_ratio_range[0]),
+                                      np.log(aspect_ratio_range[1]))))
+        cw = int(round(np.sqrt(target_area * ar)))
+        ch = int(round(np.sqrt(target_area / ar)))
+        if cw <= w and ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            crop = image[top:top + ch, left:left + cw]
+            return _resize_area(crop, (size, size)), label
+    return transform_middle_crop(image, label, seed, rng, size)
+
+
+# ---------------------------------------------------------------------------
+# ImageDataset
+# ---------------------------------------------------------------------------
+
+
+class ImageDatasetV2:
+    """A named image dataset (reference ImageDatasetV2, datasets.py:93-318).
+
+    `train_input_fn`/`eval_input_fn` return iterators of NumPy dicts
+    {"images": f32 [B,H,W,C] in [0,1], "labels": int32 [B]} with
+    drop_remainder batching. Deterministic given (seed, host) — reference
+    pipeline stages shuffle(seed)/transform(seed) (datasets.py:261-318).
+    """
+
+    def __init__(self, name, tfds_name, resolution, colors, num_classes,
+                 eval_test_samples, seed, train_transform=None,
+                 eval_transform=None, num_hosts: Optional[int] = None,
+                 host_id: Optional[int] = None, filter_fn=None,
+                 label_map_fn=None):
+        self._name = name
+        self._tfds_name = tfds_name
+        self._resolution = resolution
+        self._colors = colors
+        self._num_classes = num_classes
+        self._eval_test_samples = eval_test_samples
+        self._seed = 547 if seed is None else int(seed)
+        self._train_transform = train_transform or functools.partial(
+            transform_resize, size=resolution)
+        self._eval_transform = eval_transform or self._train_transform
+        self._num_hosts = num_hosts
+        self._host_id = host_id
+        self._filter_fn = filter_fn
+        self._label_map_fn = label_map_fn
+        self._source = None
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+    @property
+    def eval_test_samples(self):
+        """Eval split size for metrics (reference datasets.py:118-122);
+        fake data caps at 100 like `--data_fake_dataset` does."""
+        return 100 if FAKE_DATASET else self._eval_test_samples
+
+    @property
+    def image_shape(self):
+        return (self._resolution, self._resolution, self._colors)
+
+    # -- source resolution -------------------------------------------------
+    def _get_source(self):
+        if self._source is not None:
+            return self._source
+        if FAKE_DATASET:
+            self._source = FakeSource(self.image_shape, self._num_classes)
+            return self._source
+        directory = os.path.join(DATA_DIR, self._tfds_name)
+        if os.path.isdir(directory):
+            if glob.glob(os.path.join(directory, "*.npz")):
+                self._source = NpzSource(directory)
+            else:
+                self._source = TFRecordSource(directory)
+            return self._source
+        raise FileNotFoundError(
+            f"Dataset '{self._name}' not found under {directory}. Prepare "
+            f".npz or TFRecord shards there, or enable fake data "
+            f"(set_fake_dataset(True)).")
+
+    def _host_seed(self, host_id=None):
+        """seed + host index (reference datasets.py:147-172)."""
+        hid = self._host_id if host_id is None else host_id
+        return self._seed + (hid or 0)
+
+    # -- iteration ---------------------------------------------------------
+    def _iter_indices(self, split, shuffle, repeat, seed) -> Iterator[int]:
+        src = self._get_source()
+        n = src.num_examples(split)
+        num_hosts = self._num_hosts or 1
+        host_id = self._host_id or 0
+        epoch = 0
+        while True:
+            order = np.arange(n)
+            if shuffle:
+                np.random.Generator(
+                    np.random.Philox(key=(seed + 977 * epoch) % (2**63))
+                ).shuffle(order)
+            # Per-host contiguous shard of the (shuffled) epoch.
+            shard = order[host_id::num_hosts]
+            for idx in shard:
+                yield int(idx)
+            if not repeat:
+                return
+            epoch += 1
+
+    def _iter_examples(self, split, shuffle, repeat, transform, seed):
+        src = self._get_source()
+        rng = np.random.Generator(np.random.Philox(key=(seed + 131) % 2**63))
+        for idx in self._iter_indices(split, shuffle, repeat, seed):
+            image, label = src.get(split, idx, self._seed)
+            if self._filter_fn is not None and not self._filter_fn(
+                    image, label):
+                continue
+            image, label = transform(image, label, seed, rng)
+            if self._label_map_fn is not None:
+                label = self._label_map_fn(label, idx, rng)
+            yield image, label
+
+    def _batch(self, it, batch_size):
+        images, labels = [], []
+        for image, label in it:
+            images.append(image)
+            labels.append(label)
+            if len(images) == batch_size:
+                lab = (np.stack(labels).astype(np.float32)
+                       if isinstance(labels[0], np.ndarray)
+                       else np.asarray(labels, np.int32))
+                yield {"images": np.stack(images).astype(np.float32),
+                       "labels": lab}
+                images, labels = [], []
+
+    def train_input_fn(self, batch_size, prefetch=2, host_id=None):
+        """Infinite shuffled deterministic stream (reference
+        `train_input_fn`, datasets.py:261-291)."""
+        seed = self._host_seed(host_id)
+        it = self._batch(
+            self._iter_examples("train", shuffle=True, repeat=True,
+                                transform=self._train_transform, seed=seed),
+            batch_size)
+        return _prefetch(it, prefetch)
+
+    def eval_input_fn(self, batch_size, split="test", prefetch=2):
+        """Deterministic non-repeating eval stream (reference
+        `eval_input_fn`, datasets.py:293-318)."""
+        try:
+            self._get_source().num_examples(split)
+        except (FileNotFoundError, KeyError):
+            split = "train"
+        it = self._batch(
+            self._iter_examples(split, shuffle=False, repeat=False,
+                                transform=self._eval_transform,
+                                seed=self._seed),
+            batch_size)
+        return _prefetch(it, prefetch)
+
+    def load_eval_images(self, num_samples, split="test"):
+        """Pull `num_samples` eval images to a NumPy array in [0, 255]
+        (reference eval_utils.get_real_images, eval_utils.py:87-141),
+        tiling 1→3 channels."""
+        out = []
+        for batch in self.eval_input_fn(batch_size=min(64, num_samples),
+                                        split=split):
+            out.append(batch["images"])
+            if sum(len(b) for b in out) >= num_samples:
+                break
+        if not out:
+            raise ValueError(f"No eval images for {self._name}.")
+        images = np.concatenate(out, 0)[:num_samples] * 255.0
+        if images.shape[-1] == 1:
+            images = np.tile(images, (1, 1, 1, 3))
+        if len(images) < num_samples:
+            raise ValueError(
+                f"Only {len(images)} eval images available, "
+                f"need {num_samples}.")
+        return images
+
+
+def _prefetch(it, depth):
+    """Background-thread prefetch (replaces tf.data prefetch; feeds the
+    trainer's jax.device_put double buffer)."""
+    if depth <= 0:
+        return it
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            yield item
+
+    return gen()
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference datasets.py:620-640)
+# ---------------------------------------------------------------------------
+
+
+def _simple(name, tfds_name, resolution, colors, num_classes, eval_samples):
+    def ctor(seed):
+        return ImageDatasetV2(
+            name=name, tfds_name=tfds_name, resolution=resolution,
+            colors=colors, num_classes=num_classes,
+            eval_test_samples=eval_samples, seed=seed)
+    return ctor
+
+
+def _celeba(seed):
+    return ImageDatasetV2(
+        name="celeb_a", tfds_name="celeb_a", resolution=64, colors=3,
+        num_classes=None, eval_test_samples=10000, seed=seed,
+        train_transform=functools.partial(transform_celeba, size=64))
+
+
+def _celeba_hq_128(seed):
+    # Referenced by sndcgan_celebahq128.gin; absent from the reference's
+    # registry (README.md:121-123) — provided here.
+    return ImageDatasetV2(
+        name="celeb_a_hq_128", tfds_name="celeb_a_hq_128", resolution=128,
+        colors=3, num_classes=None, eval_test_samples=3000, seed=seed)
+
+
+def _lsun_bedroom(seed):
+    """99/1 train subsplit because the official val split is too small for
+    FID (reference datasets.py:399-427); modeled as filtering by index
+    hash — deterministic 1% held out for eval."""
+    holdout = lambda idx: (idx % 100) == 99  # noqa: E731
+
+    class LsunDataset(ImageDatasetV2):
+        def _iter_indices(self, split, shuffle, repeat, seed):
+            base = super()._iter_indices(
+                "train", shuffle=shuffle, repeat=repeat, seed=seed)
+            want_holdout = split != "train"
+            for idx in base:
+                if holdout(idx) == want_holdout:
+                    yield idx
+
+    return LsunDataset(
+        name="lsun-bedroom", tfds_name="lsun/bedroom", resolution=128,
+        colors=3, num_classes=None, eval_test_samples=30000, seed=seed,
+        train_transform=functools.partial(transform_random_crop, size=128),
+        eval_transform=functools.partial(transform_middle_crop, size=128))
+
+
+def _imagenet(resolution, eval_samples=50000, name=None, filter_fn=None,
+              label_map_fn=None):
+    def ctor(seed):
+        return ImageDatasetV2(
+            name=name or f"imagenet_{resolution}",
+            tfds_name="imagenet2012", resolution=resolution, colors=3,
+            num_classes=1000, eval_test_samples=eval_samples, seed=seed,
+            train_transform=functools.partial(
+                transform_distorted_crop, size=resolution),
+            eval_transform=functools.partial(
+                transform_middle_crop, size=resolution),
+            filter_fn=filter_fn, label_map_fn=label_map_fn)
+    return ctor
+
+
+def _imagenet_512_hq400(seed):
+    """Only images with min(h, w) >= 400 (reference datasets.py:535-549)."""
+    def size_filter(image, label):
+        return min(image.shape[0], image.shape[1]) >= 400
+    # Filter must run pre-transform; our filter_fn sees the raw image.
+    ds = _imagenet(512, name="imagenet_512_hq400")(seed)
+    ds._filter_fn = size_filter
+    return ds
+
+
+def _single_class(base_ctor, name):
+    """All labels forced to 0 (reference `_graph_single_class`,
+    datasets.py:552-566)."""
+    def ctor(seed):
+        ds = base_ctor(seed)
+        ds._name = name
+        ds._label_map_fn = lambda label, idx, rng: 0
+        ds._num_classes = 1
+        return ds
+    return ctor
+
+
+def _random_class(base_ctor, name, num_classes):
+    """Labels replaced by uniform random (deterministic per index;
+    reference `_graph_random_class`, datasets.py:569-584)."""
+    def ctor(seed):
+        ds = base_ctor(seed)
+        ds._name = name
+
+        def map_fn(label, idx, rng):
+            r = np.random.Generator(np.random.Philox(
+                key=(ds._seed * 2654435761 + idx) % 2**63))
+            return int(r.integers(0, num_classes))
+        ds._label_map_fn = map_fn
+        return ds
+    return ctor
+
+
+def _soft_labels(base_ctor, name):
+    """Soft labels from sidecar `<data_dir>/<name>_soft_labels/<split>.npy`
+    [N, num_classes] float (reference SoftLabeledImagenet,
+    datasets.py:587-617)."""
+    def ctor(seed):
+        ds = base_ctor(seed)
+        ds._name = name
+        cache = {}
+
+        def map_fn(label, idx, rng):
+            if "arr" not in cache:
+                path = os.path.join(DATA_DIR, f"{name}_soft_labels",
+                                    "train.npy")
+                if os.path.exists(path):
+                    cache["arr"] = np.load(path, mmap_mode="r")
+                else:
+                    cache["arr"] = None
+            if cache["arr"] is None:
+                onehot = np.zeros(ds.num_classes, np.float32)
+                onehot[label] = 1.0
+                return onehot
+            return np.asarray(cache["arr"][idx], np.float32)
+        ds._label_map_fn = map_fn
+        return ds
+    return ctor
+
+
+DATASETS: Dict[str, Callable] = {
+    "celeb_a": _celeba,
+    "celeb_a_hq_128": _celeba_hq_128,
+    "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
+    "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,
+                             10000),
+    "lsun-bedroom": _lsun_bedroom,
+    "mnist": _simple("mnist", "mnist", 28, 1, 10, 10000),
+    "imagenet_64": _imagenet(64),
+    "imagenet_128": _imagenet(128),
+    "imagenet_256": _imagenet(256),
+    "imagenet_512": _imagenet(512),
+    "imagenet_512_hq400": _imagenet_512_hq400,
+    "labeled_only_imagenet_128": _imagenet(128,
+                                           name="labeled_only_imagenet_128"),
+    "single_class_imagenet_128": _single_class(
+        _imagenet(128), "single_class_imagenet_128"),
+    "random_class_imagenet_128": _random_class(
+        _imagenet(128), "random_class_imagenet_128", 1000),
+    "soft_labeled_imagenet_128": _soft_labels(
+        _imagenet(128), "soft_labeled_imagenet_128"),
+}
+
+
+@gin.configurable("dataset")
+def get_dataset(name, seed=547) -> ImageDatasetV2:
+    """Gin key `dataset.name` (reference get_dataset, datasets.py:643-648)."""
+    if name not in DATASETS:
+        raise ValueError(f"Dataset {name} is not available. "
+                         f"Known: {sorted(DATASETS)}")
+    return DATASETS[name](seed)

@@ -1,0 +1,170 @@
+"""Checkpoint evaluation (rebuild of compare_gan/eval_gan_lib.py).
+
+The reference evaluates TF-Hub exports in a fresh session, on CPU/GPU only
+(README.md:113-115: "eval on TPU unsupported"). Here a checkpoint is
+restored into the GAN's TrainState and sampling runs wherever JAX runs —
+including TPU — with the whole sampling loop jitted (`lax.scan` over
+batches). Protocol parity:
+
+* Fixed seeds (np 42 / PRNG key 42) so every checkpoint sees identical
+  latents (eval_gan_lib.py:112-118).
+* `eval_z` gin scope for the evaluation z distribution (:43-63).
+* BN accumulator filling: flip `accu/update_accus` to 1, push
+  `num_accu_examples`=204,800 samples through G, flip back, snapshot a
+  `model-with-accu` checkpoint (:65-92,156-163).
+* `num_averaging_runs` fake sets; images of runs > 0 freed (:165-183).
+* NaN anywhere ⇒ NanFoundError ⇒ runner writes sentinel 31337.0
+  (:40, runner_lib.py:265-273).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compare_gan_tpu import checkpoint as ckpt_lib
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import core
+from compare_gan_tpu import eval_utils
+from compare_gan_tpu import utils
+from compare_gan_tpu.ops import rng as random
+
+NAN_DETECTED = 31337.0
+NanFoundError = eval_utils.NanFoundError
+
+
+@gin.configurable("eval_z", denylist=["shape", "name"])
+def z_generator(shape, distribution_fn=random.uniform, minval=-1.0,
+                maxval=1.0, stddev=1.0, name=None):
+    """Eval-time z distribution, gin scope `eval_z`
+    (eval_gan_lib.py:43-63)."""
+    return utils.call_with_accepted_args(
+        distribution_fn, shape=shape, minval=minval, maxval=maxval,
+        stddev=stddev, name=name)
+
+
+def _make_sampler(gan, batch_size):
+    """Jitted `(params, state, key) -> (images, new_state)`: draws z (and
+    labels for conditional GANs) from the key and runs G in eval mode."""
+
+    def sample(params, state, key):
+        with random.rng_context(key):
+            z = z_generator([batch_size, gan.z_dim], name="z")
+            labels = None
+            if gan.conditional:
+                labels = random.randint([batch_size], 0,
+                                        gan.dataset.num_classes,
+                                        name="labels")
+
+        def fwd():
+            y = gan._get_one_hot_labels(labels) if gan.conditional else None
+            return gan.generator(z, y=y, is_training=False)
+
+        return core.apply(fwd, params, state)
+
+    return jax.jit(sample)
+
+
+def _update_bn_accumulators(gan, ts, batch_size, num_accu_examples):
+    """Fill BN accumulators (eval_gan_lib.py:65-92). Returns (state,
+    had_accumulators). The whole filling loop runs on device as one scan."""
+    switch_keys = [k for k in ts.state if "accu/update_accus" in k]
+    if not switch_keys:
+        return ts.state, False
+    state = dict(ts.state)
+    for k in switch_keys:
+        state[k] = jnp.ones_like(state[k])
+    num_batches = num_accu_examples // batch_size
+    params = gan._inference_params(ts)
+    base_key = jax.random.PRNGKey(42)
+
+    def body(carry_state, i):
+        with random.rng_context(jax.random.fold_in(base_key, i)):
+            z = z_generator([batch_size, gan.z_dim], name="z")
+            labels = (random.randint([batch_size], 0,
+                                     gan.dataset.num_classes, name="labels")
+                      if gan.conditional else None)
+
+        def fwd():
+            y = gan._get_one_hot_labels(labels) if gan.conditional else None
+            return gan.generator(z, y=y, is_training=False)
+
+        _, new_state = core.apply(fwd, params, carry_state)
+        return new_state, ()
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(num_batches))
+    for k in switch_keys:
+        state[k] = jnp.zeros_like(state[k])
+    return state, True
+
+
+def evaluate_checkpoint(gan, checkpoint_path, eval_tasks, batch_size=64,
+                        num_averaging_runs=1, num_accu_examples=204800,
+                        export_accu_checkpoint=True) -> Dict[str, float]:
+    """Evaluate one checkpoint (reference evaluate_tfhub_module,
+    eval_gan_lib.py:95-212). Returns {metric_{mean,std,list}: value}."""
+    np.random.seed(42)
+    dataset = gan.dataset
+    num_test_examples = dataset.eval_test_samples
+    num_batches = int(np.ceil(num_test_examples / batch_size))
+
+    template = gan.init_state(jax.random.PRNGKey(0), batch_size)
+    ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
+
+    state, had_accus = _update_bn_accumulators(
+        gan, ts, batch_size, num_accu_examples=num_accu_examples)
+    if had_accus:
+        ts = type(ts)(**{**ts.__dict__, "state": state})
+        if export_accu_checkpoint:
+            step = ckpt_lib.step_of(checkpoint_path)
+            accu_dir = os.path.join(gan.model_dir, "tfhub", str(step))
+            os.makedirs(accu_dir, exist_ok=True)
+            ckpt_lib.save_checkpoint(accu_dir, ts, step)
+
+    if not eval_tasks:
+        return {}
+
+    params = gan._inference_params(ts)
+    sampler = _make_sampler(gan, batch_size)
+    base_key = jax.random.PRNGKey(42)
+
+    fake_dsets: List[eval_utils.EvalDataSample] = []
+    for run in range(num_averaging_runs):
+        def sample_fn(i, _run=run):
+            images, _ = sampler(params, ts.state,
+                                jax.random.fold_in(
+                                    jax.random.fold_in(base_key, _run), i))
+            return images
+
+        fake_dset = eval_utils.EvalDataSample(
+            eval_utils.sample_fake_dataset(sample_fn, num_batches,
+                                           batch_size))
+        fake_dsets.append(fake_dset)
+        activations, logits = eval_utils.inception_transform_np(
+            fake_dset.images, batch_size)
+        fake_dset.set_data(activations, logits)
+        fake_dset.set_num_examples(num_test_examples)
+        if run != 0:
+            # Bound host memory (eval_gan_lib.py:179-183).
+            fake_dset.discard_images()
+
+    real_dset = eval_utils.EvalDataSample(
+        dataset.load_eval_images(num_test_examples))
+    real_dset.activations, real_dset.logits = (
+        eval_utils.inception_transform_np(real_dset.images, batch_size))
+    real_dset.set_num_examples(num_test_examples)
+
+    result_dict: Dict[str, float] = {}
+    for task in eval_tasks:
+        task_results = [task.run_after_session(fd, real_dset)
+                        for fd in fake_dsets]
+        for key in task_results[0]:
+            scores = np.array([d[key] for d in task_results])
+            result_dict[key + "_mean"] = float(np.mean(scores))
+            result_dict[key + "_std"] = float(np.std(scores))
+            result_dict[key + "_list"] = "_".join(str(x) for x in scores)
+    return result_dict

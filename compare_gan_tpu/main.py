@@ -1,0 +1,95 @@
+"""Binary to train and evaluate GANs (rebuild of compare_gan/main.py).
+
+Same flag surface (main.py:45-66): --model_dir, --schedule, --gin_config,
+--gin_bindings, --score_filename, --num_eval_averaging_runs,
+--eval_every_steps, --data_fake_dataset. TPU selection flags become
+JAX-native: devices are discovered by the runtime; --num_devices restricts
+the mesh.
+
+Example:
+  python -m compare_gan_tpu.main --model_dir=/tmp/gan \
+      --gin_config=example_configs/resnet_cifar10.gin
+"""
+
+from __future__ import annotations
+
+from absl import app, flags, logging
+
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import datasets, runner_lib
+# Importing registers all configurables (architectures, losses, gans).
+from compare_gan_tpu import gans  # noqa: F401
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("model_dir", None, "Where to store files.")
+flags.DEFINE_string(
+    "schedule", "train",
+    "Schedule to run: train, continuous_eval, eval_after_train.")
+flags.DEFINE_multi_string(
+    "gin_config", [], "List of paths to the config files.")
+flags.DEFINE_multi_string(
+    "gin_bindings", [], "Newline separated list of Gin parameter bindings.")
+flags.DEFINE_string(
+    "score_filename", "scores.csv",
+    "Name of the CSV file with evaluation results model_dir.")
+flags.DEFINE_integer(
+    "num_eval_averaging_runs", 3,
+    "How many times to average FID and IS.")
+flags.DEFINE_integer(
+    "eval_every_steps", 5000, "Evaluate only checkpoints whose step is "
+    "divisible by this integer.")
+flags.DEFINE_bool(
+    "data_fake_dataset", False,
+    "If True, the real data is replaced by a fake dataset.")
+flags.DEFINE_integer("num_devices", None,
+                     "Devices in the mesh (default: all local).")
+
+
+def _get_run_config(iterations_per_loop=100, save_checkpoints_steps=5000,
+                    keep_checkpoint_max=1000, tf_random_seed=None):
+    """Gin-configurable run config (reference `_get_run_config`,
+    main.py:79-95; same binding names)."""
+    return runner_lib.RunConfig(
+        model_dir=FLAGS.model_dir,
+        tf_random_seed=tf_random_seed,
+        iterations_per_loop=iterations_per_loop,
+        save_checkpoints_steps=save_checkpoints_steps,
+        keep_checkpoint_max=keep_checkpoint_max,
+        num_devices=FLAGS.num_devices)
+
+
+_get_run_config = gin.configurable("run_config")(_get_run_config)
+
+
+def _get_task_manager():
+    score_file = None
+    if FLAGS.score_filename:
+        import os
+        score_file = os.path.join(FLAGS.model_dir, FLAGS.score_filename)
+    return runner_lib.TaskManagerWithCsvResults(
+        model_dir=FLAGS.model_dir, score_file=score_file)
+
+
+def main(unused_argv):
+    logging.info("Gin config: %s\nGin bindings: %s",
+                 FLAGS.gin_config, FLAGS.gin_bindings)
+    datasets.set_fake_dataset(FLAGS.data_fake_dataset)
+    gin.parse_config_files_and_bindings(FLAGS.gin_config, FLAGS.gin_bindings)
+
+    run_config = _get_run_config()
+    task_manager = _get_task_manager()
+    options = runner_lib.get_options_dict()
+    runner_lib.run_with_schedule(
+        schedule=FLAGS.schedule,
+        run_config=run_config,
+        task_manager=task_manager,
+        options=options,
+        num_eval_averaging_runs=FLAGS.num_eval_averaging_runs,
+        eval_every_steps=(FLAGS.eval_every_steps or None))
+    logging.info("Finished schedule %s.", FLAGS.schedule)
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("model_dir")
+    app.run(main)

@@ -1,0 +1,171 @@
+"""GILBO: Generative Information Lower BOund (arXiv:1802.04874).
+
+Rebuild of compare_gan/metrics/gilbo.py (515 LoC, legacy API). Trains a
+regressor E(x) → Beta-distribution over z to lower-bound the mutual
+information I(z; G(z)):
+
+    GILBO = E_{z,x=G(z)} [ log q(z|x) − log p(z) ]
+
+with p(z) uniform on [-1, 1]^d (log p(z) = −d·log 2). The regressor is a
+small conv net (gilbo.py:101-119's architecture) trained with Adam; the
+consistency metrics re-encode train/eval/self samples and compare
+(gilbo.py:300-515). Everything runs as jitted JAX; the reference's
+tf.distributions Beta + Affine(-1, 2) bijector becomes explicit log-prob
+math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from compare_gan_tpu import core
+from compare_gan_tpu.metrics import eval_task
+from compare_gan_tpu.ops import arch_ops as ops
+
+
+def _regressor(x, z_dim):
+    """Conv regressor producing Beta(a, b) params per z coordinate
+    (gilbo.py:101-119: 2 convs 64/128 stride 2, dense 1024, dense 2·z_dim;
+    a, b = 1 + softplus(· − 5))."""
+    net = ops.lrelu(ops.conv2d(x, 64, 4, 4, 2, 2, name="conv1"))
+    net = ops.lrelu(ops.conv2d(net, 128, 4, 4, 2, 2, name="conv2"))
+    net = net.reshape(net.shape[0], -1)
+    net = ops.lrelu(ops.linear(net, 1024, scope="fc1"))
+    net = ops.linear(net, 2 * z_dim, scope="fc2")
+    a = 1.0 + jax.nn.softplus(net[:, :z_dim] - 5.0)
+    b = 1.0 + jax.nn.softplus(net[:, z_dim:] - 5.0)
+    return a, b
+
+
+def _beta_log_prob(a, b, u):
+    """log Beta(a,b) density at u ∈ (0, 1)."""
+    lgamma = jax.lax.lgamma
+    log_norm = lgamma(a) + lgamma(b) - lgamma(a + b)
+    return (a - 1.0) * jnp.log(u) + (b - 1.0) * jnp.log1p(-u) - log_norm
+
+
+def _log_qz(a, b, z, eps=1e-6):
+    """log q(z|x) for z ∈ (−1, 1): Beta density transformed by the
+    affine map u = (z+1)/2 (Jacobian 1/2 per dim ⇒ −log 2 each)."""
+    u = jnp.clip((z + 1.0) / 2.0, eps, 1.0 - eps)
+    return jnp.sum(_beta_log_prob(a, b, u) - jnp.log(2.0), axis=-1)
+
+
+def train_gilbo(gan, ts, train_images=None, eval_images=None,
+                batch_size=64, train_steps=2000, eval_batches=64,
+                learning_rate=4e-4, seed=0):
+    """Train the GILBO regressor against the (frozen) generator and return
+    (gilbo, train_consistency, eval_consistency, self_consistency) in bits
+    per sample... nats, matching the reference's reporting (gilbo.py:
+    217-298)."""
+    z_dim = gan.z_dim
+    key = jax.random.PRNGKey(seed)
+
+    def sample_z(k, n):
+        return jax.random.uniform(k, (n, z_dim), minval=-1.0, maxval=1.0)
+
+    def fwd(x):
+        return _regressor(x, z_dim)
+
+    x0, _ = gan.sample(ts, sample_z(jax.random.fold_in(key, 0), batch_size))
+    _, params, _ = core.init(fwd, jax.random.fold_in(key, 1), x0)
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    def gen(k):
+        z = sample_z(k, batch_size)
+        x, _ = gan.sample(ts, z)
+        return z, x
+
+    @jax.jit
+    def train_step(params, opt_state, k):
+        z, x = gen(k)
+
+        def loss_fn(p):
+            (a, b), _ = core.apply(fwd, p, {}, x)
+            return -jnp.mean(_log_qz(a, b, z))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    for i in range(train_steps):
+        params, opt_state, _ = train_step(
+            params, opt_state, jax.random.fold_in(key, 2 + i))
+
+    log_pz = -z_dim * np.log(2.0)
+
+    @jax.jit
+    def gilbo_batch(k):
+        z, x = gen(k)
+        (a, b), _ = core.apply(fwd, params, {}, x)
+        return jnp.mean(_log_qz(a, b, z)) - log_pz
+
+    gilbo = float(np.mean([gilbo_batch(jax.random.fold_in(key, 10_000 + i))
+                           for i in range(eval_batches)]))
+
+    @jax.jit
+    def encode_mode(x):
+        """Mode of q(z|x): Beta mode mapped back to [−1, 1]."""
+        (a, b), _ = core.apply(fwd, params, {}, x)
+        mode = jnp.where((a > 1) & (b > 1),
+                         (a - 1.0) / jnp.maximum(a + b - 2.0, 1e-6), 0.5)
+        return 2.0 * mode - 1.0
+
+    def consistency(images):
+        """Re-encode → re-generate → re-encode; mean log q of the first
+        code under the second posterior (gilbo.py:300-377's
+        consistency protocol, compacted)."""
+        if images is None:
+            return float("nan")
+        vals = []
+        for i in range(0, min(len(images), eval_batches * batch_size),
+                       batch_size):
+            x = jnp.asarray(images[i:i + batch_size], jnp.float32)
+            if x.shape[0] < batch_size:
+                break
+            z1 = encode_mode(x)
+            x2, _ = gan.sample(ts, z1)
+            (a, b), _ = core.apply(fwd, params, {}, x2)
+            vals.append(float(jnp.mean(_log_qz(a, b, z1)) - log_pz))
+        return float(np.mean(vals)) if vals else float("nan")
+
+    def self_consistency():
+        z, x = gen(jax.random.fold_in(key, 999))
+        z1 = encode_mode(x)
+        x2, _ = gan.sample(ts, z1)
+        (a, b), _ = core.apply(fwd, params, {}, x2)
+        return float(jnp.mean(_log_qz(a, b, z1)) - log_pz)
+
+    return (gilbo, consistency(train_images), consistency(eval_images),
+            self_consistency())
+
+
+class GILBOTask(eval_task.EvalTask):
+    """Compute GILBO and consistency metrics (gilbo.py:52-77)."""
+
+    def __init__(self, outdir=None, task_workdir=None, dataset_name=None):
+        self.outdir = outdir
+        self.task_workdir = task_workdir
+        self.dataset = dataset_name
+
+    def metric_list(self):
+        return frozenset(["gilbo", "gilbo_train_consistency",
+                          "gilbo_eval_consistency",
+                          "gilbo_self_consistency"])
+
+    def run_after_session(self, fake_dset, real_dset=None):
+        raise NotImplementedError(
+            "GILBOTask needs generator access; call run_with_gan(gan, ts) "
+            "(legacy run_in_session API in the reference, gilbo.py:69-77).")
+
+    def run_with_gan(self, gan, ts, train_images=None, eval_images=None,
+                     **kwargs):
+        g, tc, ec, sc = train_gilbo(gan, ts, train_images, eval_images,
+                                    **kwargs)
+        return {"gilbo": g, "gilbo_train_consistency": tc,
+                "gilbo_eval_consistency": ec,
+                "gilbo_self_consistency": sc}

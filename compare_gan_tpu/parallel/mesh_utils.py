@@ -1,0 +1,103 @@
+"""Mesh construction + sharded train-loop compilation.
+
+This is the replacement for TPUEstimator's replication machinery
+(abstract_gan.py:41-47): a 1-D `data` mesh, TrainState replicated, batches
+sharded on `data`. Gradient all-reduce (CrossShardOptimizer,
+modular_gan.py:606-616) and cross-replica BN moments (arch_ops.py:258-263)
+fall out of XLA's partitioner because the losses/moments are written over
+the global batch.
+
+Scale-out beyond pure DP is available via `extra_axes` (e.g. a `model`
+axis for spatial/channel sharding of the 512px models) — an extension the
+reference does not have (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              extra_axes: Tuple[Tuple[str, int], ...] = ()) -> Mesh:
+    """1-D data mesh by default; with extra_axes, the first axis is
+    data = total/∏(extra) and extra axes follow."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    extra = math.prod(s for _, s in extra_axes) if extra_axes else 1
+    if n % extra:
+        raise ValueError(f"{n} devices not divisible by extra axes {extra}.")
+    shape = (n // extra,) + tuple(s for _, s in extra_axes)
+    names = ("data",) + tuple(a for a, _ in extra_axes)
+    return Mesh(np.asarray(devices).reshape(shape), names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, leading_stack: bool = False) -> NamedSharding:
+    """Shard the (global) batch dim over `data`. With leading_stack, dim 0
+    is the scan/time axis and dim 1 is the batch."""
+    if leading_stack:
+        return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_train_state(ts, mesh: Mesh):
+    """Replicate the TrainState across the mesh (params/state/opt all
+    replicated — pure DP, like TPUEstimator's per-core copies)."""
+    return jax.device_put(ts, replicated(mesh))
+
+
+def make_batch_sharder(mesh: Mesh, leading_stack: bool = False):
+    sharding = batch_sharding(mesh, leading_stack)
+
+    def shard_batch(batch):
+        return jax.device_put(batch, sharding)
+
+    return shard_batch
+
+
+def stage_chunk(batch_iter: Iterator, steps: int, shard_batch):
+    """Pull `steps` host batches, stack on a leading scan axis, transfer
+    sharded. This is the infeed replacement: one H2D per chunk, and jax's
+    async dispatch overlaps it with the previous chunk's compute."""
+    chunk = [next(batch_iter) for _ in range(steps)]
+    stacked = {k: np.stack([c[k] for c in chunk]) for k in chunk[0]}
+    return shard_batch(stacked)
+
+
+def compile_train_loop(gan, ts, mesh: Mesh, batch_size: int,
+                       steps_per_loop: int):
+    """Returns (jitted_loop, shard_batch, sharded_ts). The loop donates the
+    TrainState buffers (in-place update on device, zero copy)."""
+    n_data = mesh.shape["data"]
+    total = batch_size * gan.num_sub_steps
+    if total % n_data:
+        raise ValueError(
+            f"Global per-step batch {total} (= {batch_size} x "
+            f"{gan.num_sub_steps} sub-steps) must divide over "
+            f"{n_data} data-parallel devices.")
+    loop = gan.make_train_loop(batch_size, steps_per_loop)
+    ts = shard_train_state(ts, mesh)
+    # Input shardings propagate from the device_put layouts; XLA partitions
+    # the step and inserts the ICI collectives.
+    jitted = jax.jit(loop, donate_argnums=(0,))
+    shard_batch = make_batch_sharder(mesh, leading_stack=True)
+    return jitted, shard_batch, ts
+
+
+def compile_train_step(gan, ts, mesh: Mesh, batch_size: int):
+    """Single-step variant (tests, debugging)."""
+    step = gan.make_train_step(batch_size)
+    ts = shard_train_state(ts, mesh)
+    jitted = jax.jit(step, donate_argnums=(0,))
+    shard_batch = make_batch_sharder(mesh, leading_stack=False)
+    return jitted, shard_batch, ts

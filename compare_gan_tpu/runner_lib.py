@@ -1,0 +1,315 @@
+"""Binary entry-point library: schedules, task manager, train loop.
+
+Rebuild of compare_gan/runner_lib.py (354 LoC). Same surface:
+`run_with_schedule(schedule, ...)` with schedules train / eval_after_train /
+continuous_eval, `TaskManager`/`TaskManagerWithCsvResults` with the
+TRAIN_DONE marker, checkpoint polling, and scores.csv keyed by checkpoint +
+full operative gin config (runner_lib.py:114-232,280-354).
+
+The TPUEstimator training loop is replaced by the native loop:
+pre-stage `iterations_per_loop` host batches, device_put against the mesh,
+run one jitted lax.scan chunk per loop (double-buffered: the host prepares
+chunk N+1 while the device runs chunk N), then summaries / progress /
+async checkpoints on chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import glob
+import os
+import re
+import time
+from typing import Dict, List, Optional, Set
+
+import jax
+import numpy as np
+
+from compare_gan_tpu import checkpoint as ckpt_lib
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import datasets
+from compare_gan_tpu import summaries as summaries_lib
+from compare_gan_tpu import utils
+from compare_gan_tpu.parallel import mesh_utils
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """The slice of tf.contrib.tpu.RunConfig the runner consumes
+    (main.py:79-95)."""
+    model_dir: str
+    tf_random_seed: Optional[int] = None
+    iterations_per_loop: int = 100
+    save_checkpoints_steps: int = 5000
+    keep_checkpoint_max: int = 1000
+    save_summary_steps: int = 250
+    num_devices: Optional[int] = None  # None: all local devices.
+
+
+@gin.configurable("options")
+def get_options_dict(batch_size=None, gan_class=None, architecture=None,
+                     training_steps=None, discriminator_normalization=None,
+                     lamba=1, disc_iters=1, z_dim=128):
+    """Legacy options dict from gin `options.*` (runner_lib.py:72-111).
+    `lamba` [sic] keeps the reference's (misspelled) binding name."""
+    del discriminator_normalization  # Deprecated in the reference too.
+    for req, name in [(batch_size, "batch_size"), (gan_class, "gan_class"),
+                      (architecture, "architecture"),
+                      (training_steps, "training_steps")]:
+        if req is None:
+            raise gin.ConfigError(f"options.{name} is required.")
+    return {
+        "batch_size": batch_size,
+        "gan_class": gan_class,
+        "architecture": architecture,
+        "training_steps": training_steps,
+        "lambda": lamba,
+        "disc_iters": disc_iters,
+        "z_dim": z_dim,
+    }
+
+
+class TaskManager:
+    """Marker files + checkpoint polling (runner_lib.py:114-183)."""
+
+    def __init__(self, model_dir):
+        self._model_dir = model_dir
+
+    @property
+    def model_dir(self):
+        return self._model_dir
+
+    def mark_training_done(self):
+        os.makedirs(self.model_dir, exist_ok=True)
+        with open(os.path.join(self.model_dir, "TRAIN_DONE"), "w") as f:
+            f.write("")
+
+    def is_training_done(self):
+        return os.path.exists(os.path.join(self.model_dir, "TRAIN_DONE"))
+
+    def add_eval_result(self, checkpoint_path, result_dict, default_value):
+        pass
+
+    def get_checkpoints_with_results(self) -> Set[str]:
+        return set()
+
+    def unevaluated_checkpoints(self, timeout=0, eval_every_steps=None,
+                                poll_interval_secs=60):
+        """Yield unevaluated checkpoints, polling up to `timeout` seconds
+        (runner_lib.py:137-180: 60 s sleep, divisibility filter, stop on
+        TRAIN_DONE)."""
+        evaluated = self.get_checkpoints_with_results()
+        last_eval = time.time()
+        while True:
+            candidates = set(ckpt_lib.all_checkpoints(self.model_dir))
+            fresh = candidates - evaluated
+            step_and_ckpt = sorted(
+                (ckpt_lib.step_of(p), p) for p in fresh)
+            if eval_every_steps:
+                step_and_ckpt = [(s, p) for s, p in step_and_ckpt
+                                 if s > 0 and s % eval_every_steps == 0]
+            fresh_list = [p for _, p in step_and_ckpt]
+            for path in fresh_list:
+                yield path
+            if fresh_list:
+                evaluated |= set(fresh_list)
+                last_eval = time.time()
+                continue
+            if time.time() - last_eval > timeout or self.is_training_done():
+                break
+            time.sleep(poll_interval_secs)
+
+    def report_progress(self, message):
+        pass
+
+
+class TaskManagerWithCsvResults(TaskManager):
+    """Appends one scores.csv row per evaluated checkpoint, joined with the
+    operative gin config at that step (runner_lib.py:186-232)."""
+
+    def __init__(self, model_dir, score_file=None):
+        super().__init__(model_dir)
+        self._score_file = score_file or os.path.join(model_dir,
+                                                      "scores.csv")
+
+    def _get_config_for_step(self, step) -> Dict[str, str]:
+        saved = glob.glob(
+            os.path.join(self.model_dir, "operative_config-*.gin"))
+        get_step = lambda fn: int(  # noqa: E731
+            re.findall(r"operative_config-(\d+).gin", fn)[0])
+        steps = sorted(get_step(fn) for fn in saved)
+        if not steps:
+            return {}
+        last = [s for s in steps if s <= int(step)]
+        use = last[-1] if last else steps[0]
+        path = os.path.join(self.model_dir, f"operative_config-{use}.gin")
+        with open(path) as f:
+            return gin.parse_operative_config(f.read())
+
+    def add_eval_result(self, checkpoint_path, result_dict, default_value):
+        step = ckpt_lib.step_of(checkpoint_path)
+        config = self._get_config_for_step(step)
+        header = (["checkpoint_path", "step"] + sorted(result_dict)
+                  + sorted(config))
+        write_header = not os.path.exists(self._score_file)
+        row = dict(checkpoint_path=checkpoint_path, step=step, **config)
+        for k, v in result_dict.items():
+            row[k] = f"{v:.3f}" if isinstance(v, float) else v
+        with open(self._score_file, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=header,
+                                    extrasaction="ignore")
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
+
+    def get_checkpoints_with_results(self) -> Set[str]:
+        if not os.path.exists(self._score_file):
+            return set()
+        with open(self._score_file, newline="") as f:
+            return {r["checkpoint_path"] for r in csv.DictReader(f)}
+
+
+def _save_operative_config(model_dir, step):
+    """Snapshot the consumed gin bindings (GinConfigSaverHook analog,
+    runner_lib.py:319)."""
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, f"operative_config-{step}.gin")
+    with open(path, "w") as f:
+        f.write(gin.operative_config_str())
+
+
+def train(gan, run_config: RunConfig, task_manager: TaskManager,
+          batch_size: int, max_steps: int):
+    """The native training loop (replaces TPUEstimator.train,
+    runner_lib.py:318-338).
+
+    Per loop chunk: stage `iterations_per_loop` batches to device, run one
+    jitted scan, emit summaries/progress, maybe checkpoint asynchronously.
+    Resumes from the latest checkpoint in model_dir.
+    """
+    model_dir = run_config.model_dir
+    os.makedirs(model_dir, exist_ok=True)
+
+    latest = ckpt_lib.latest_checkpoint(model_dir)
+    if latest and ckpt_lib.step_of(latest) >= max_steps:
+        return None  # Nothing to do; skip device init entirely.
+
+    seed = run_config.tf_random_seed or 547
+    rng = jax.random.PRNGKey(seed)
+    ts = gan.init_state(rng, batch_size)
+
+    if latest:
+        ts = ckpt_lib.restore_checkpoint(latest, ts)
+    start_step = int(ts.step)
+    if start_step == 0:
+        # Step-0 checkpoint, like Estimator's on-start save.
+        ckpt_lib.save_checkpoint(model_dir, ts, 0,
+                                 run_config.keep_checkpoint_max)
+    if start_step >= max_steps:
+        return ts
+
+    mesh = mesh_utils.make_mesh(num_devices=run_config.num_devices)
+    train_loop, shard_batch, ts = mesh_utils.compile_train_loop(
+        gan, ts, mesh, batch_size, run_config.iterations_per_loop)
+
+    writer = summaries_lib.SummaryWriter(
+        model_dir, save_summary_steps=run_config.save_summary_steps)
+    saver = ckpt_lib.AsyncCheckpointSaver(
+        model_dir, run_config.save_checkpoints_steps,
+        run_config.keep_checkpoint_max)
+    _save_operative_config(model_dir, start_step)
+
+    batches = gan.input_batches(batch_size)
+    loop_steps = run_config.iterations_per_loop
+    step = start_step
+    t_start = time.time()
+    next_chunk = mesh_utils.stage_chunk(batches, loop_steps, shard_batch)
+    while step < max_steps:
+        chunk = next_chunk
+        steps_this_chunk = min(loop_steps, max_steps - step)
+        ts, metrics = train_loop(ts, chunk)
+        # Overlap: stage the next chunk while the device runs this one is
+        # achieved by dispatch-then-stage; jax dispatches train_loop
+        # asynchronously, so staging below overlaps device compute.
+        if step + steps_this_chunk < max_steps:
+            next_chunk = mesh_utils.stage_chunk(batches, loop_steps,
+                                                shard_batch)
+        step += steps_this_chunk
+        # Blocks on metrics only (small transfer).
+        metrics = jax.tree_util.tree_map(np.asarray, metrics)
+        writer.scalars(metrics, step)
+        writer.flush()
+        steps_per_sec = (step - start_step) / (time.time() - t_start)
+        eta_hours = (max_steps - step) / max(steps_per_sec, 1e-6) / 3600.0
+        task_manager.report_progress(
+            f"step_{step}_steps_per_sec_{steps_per_sec:.2f}"
+            f"_ETA_{eta_hours:.1f}h")
+        if saver.should_save(step) or step >= max_steps:
+            saver.save(ts, step)
+    saver.join()
+    writer.close()
+    return ts
+
+
+def _default_eval_tasks():
+    """FID + IS, the reference's default set (runner_lib.py:249-255)."""
+    from compare_gan_tpu.metrics import fid_score, inception_score
+    return [inception_score.InceptionScoreTask(),
+            fid_score.FIDScoreTask()]
+
+
+def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
+              num_averaging_runs, eval_tasks=None):
+    """Evaluate checkpoints → scores.csv (runner_lib.py:235-277).
+    NaN ⇒ sentinel 31337.0 (eval_gan_lib.NAN_DETECTED)."""
+    from compare_gan_tpu import eval_gan_lib
+    eval_tasks = eval_tasks or _default_eval_tasks()
+    for checkpoint_path in checkpoints:
+        step = ckpt_lib.step_of(checkpoint_path)
+        if step == 0:
+            continue
+        default_value = -1.0
+        try:
+            result_dict = eval_gan_lib.evaluate_checkpoint(
+                gan, checkpoint_path, eval_tasks, batch_size=batch_size,
+                num_averaging_runs=num_averaging_runs)
+        except eval_gan_lib.NanFoundError:
+            result_dict = {}
+            default_value = eval_gan_lib.NAN_DETECTED
+        task_manager.add_eval_result(checkpoint_path, result_dict,
+                                     default_value)
+
+
+def run_with_schedule(schedule, run_config: RunConfig,
+                      task_manager: TaskManager, options: Dict,
+                      num_eval_averaging_runs=1, eval_every_steps=-1,
+                      eval_batch_size=64):
+    """Train / eval_after_train / continuous_eval (runner_lib.py:280-354)."""
+    if schedule not in {"train", "eval_after_train", "continuous_eval"}:
+        raise ValueError(f"Schedule {schedule} not supported.")
+    if run_config.tf_random_seed:
+        np.random.seed(run_config.tf_random_seed)
+    os.makedirs(os.path.join(run_config.model_dir, "result"), exist_ok=True)
+
+    dataset = datasets.get_dataset(seed=run_config.tf_random_seed or 547)
+    gan = options["gan_class"](dataset=dataset, parameters=options,
+                               model_dir=run_config.model_dir)
+
+    if schedule in {"train", "eval_after_train"}:
+        train(gan, run_config, task_manager,
+              batch_size=options["batch_size"],
+              max_steps=options["training_steps"])
+        task_manager.mark_training_done()
+
+    if schedule == "continuous_eval":
+        checkpoints = task_manager.unevaluated_checkpoints(
+            timeout=24 * 3600, eval_every_steps=eval_every_steps)
+    elif schedule == "eval_after_train":
+        checkpoints = task_manager.unevaluated_checkpoints(
+            eval_every_steps=eval_every_steps)
+    if schedule in {"continuous_eval", "eval_after_train"}:
+        _run_eval(gan, checkpoints=checkpoints, task_manager=task_manager,
+                  run_config=run_config, batch_size=eval_batch_size,
+                  num_averaging_runs=num_eval_averaging_runs)
+    return gan
