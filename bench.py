@@ -1,0 +1,74 @@
+"""Benchmark: BigGAN-128 training throughput per chip.
+
+Runs the full BigGAN ImageNet-128 recipe step (disc_iters=2, hinge, SN,
+conditional BN, EMA — example_configs/biggan_imagenet128.gin) on the local
+accelerator and prints ONE JSON line:
+  {"metric": "biggan128_steps_per_sec_per_chip", "value": N,
+   "unit": "steps/sec", "vs_baseline": R}
+
+Per-chip batch matches the reference recipe's per-core load on a v3-128
+pod: global batch 2048 / 128 cores = 16 per sub-step.
+
+vs_baseline: the reference publishes no TF-TPU steps/sec (BASELINE.md §top);
+R is computed against REFERENCE_STEPS_PER_SEC below, an estimate of the TF1
+compare_gan per-core throughput for the same recipe (TPUEstimator, v3).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# Persistent compile cache: BigGAN-128 XLA compilation is minutes; cache it
+# across bench invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# Estimated reference (TF-TPU compare_gan) per-core steps/sec for the
+# biggan_imagenet128 recipe at per-core batch 16. No number is published;
+# this anchor makes vs_baseline a stable ratio across rounds.
+REFERENCE_STEPS_PER_SEC = 1.0
+
+BATCH_PER_CHIP = 16
+WARMUP_STEPS = 2
+TIMED_STEPS = 10
+
+
+def main():
+    from __graft_entry__ import _make_biggan
+
+    gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP)
+    ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
+    step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
+
+    total = BATCH_PER_CHIP * gan.num_sub_steps
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.rand(total, 128, 128, 3).astype(np.float32),
+        "labels": rng.randint(0, 1000, size=(total,)).astype(np.int32),
+    }
+
+    for _ in range(WARMUP_STEPS):
+        ts, metrics = step(ts, batch)
+    jax.block_until_ready(metrics["loss/g"])
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        ts, metrics = step(ts, batch)
+    jax.block_until_ready(metrics["loss/g"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = TIMED_STEPS / dt
+    print(json.dumps({
+        "metric": "biggan128_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,12 @@ class _Module(abc.ABC):
         return self._name
 
     def trainable_variables(self, params):
-        """Sub-pytree of `params` owned by this module."""
-        return core.filter_prefix(params, self._name)
+        """Sub-pytree of `params` owned by this module. Bare string-prefix
+        matching like the reference (abstract_arch.py:40-45): auxiliary
+        scopes such as `discriminator_rotation` (ssgan.py:98) belong to
+        the discriminator."""
+        return {k: v for k, v in params.items()
+                if k.startswith(self._name)}
 
 
 @gin.configurable("G", denylist=["name", "image_shape"])

@@ -87,7 +87,10 @@ def configurable(name_or_fn=None, *, name: Optional[str] = None,
     def wrap(fn, reg_name):
         if inspect.isclass(fn):
             return _wrap_class(fn, reg_name, denylist)
-        sig_params = _signature_params(fn)
+        # Keep 'self' for plain functions: when the configurable is a
+        # method, positional args include the instance and parameter
+        # alignment must account for it.
+        sig_params = _signature_params(fn, pop_self=False)
         has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
                          for p in sig_params.values())
 
@@ -171,14 +174,15 @@ def _wrap_class(cls, reg_name, denylist):
     return cls
 
 
-def _signature_params(fn):
+def _signature_params(fn, pop_self=True):
     target = fn.__init__ if inspect.isclass(fn) else fn
     try:
         sig = inspect.signature(target)
     except (TypeError, ValueError):
         return {}
     params = dict(sig.parameters)
-    params.pop("self", None)
+    if pop_self:
+        params.pop("self", None)
     return params
 
 

@@ -7,3 +7,5 @@ from compare_gan_tpu.gans import loss_lib  # noqa: F401
 from compare_gan_tpu.gans import optimizers  # noqa: F401
 from compare_gan_tpu.gans import penalty_lib  # noqa: F401
 from compare_gan_tpu.gans.modular_gan import ModularGAN  # noqa: F401
+from compare_gan_tpu.gans.s3gan import S3GAN  # noqa: F401
+from compare_gan_tpu.gans.ssgan import SSGAN  # noqa: F401

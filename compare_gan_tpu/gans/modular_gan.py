@@ -236,8 +236,8 @@ class ModularGAN(AbstractGAN):
         penalty_loss = penalty_lib.get_penalty_loss(
             x=images, x_fake=generated, y=y, is_training=is_training,
             d_logits_fn=d_logits_fn,
-            d_params=core.filter_prefix(
-                dict(core._ctx().params), self.discriminator.name))
+            d_params=self.discriminator.trainable_variables(
+                dict(core._ctx().params)))
         d_loss = d_loss + self._lambda * penalty_loss
         return {"d_loss": d_loss, "g_loss": g_loss,
                 "penalty_loss": penalty_loss}
@@ -299,8 +299,7 @@ class ModularGAN(AbstractGAN):
     def _disc_sub_step(self, params, state, d_opt_state, images, labels,
                        key, d_tx, precomputed_fake=None):
         """One D training sub-step (modular_gan.py:471-485)."""
-        d_name = self.discriminator.name
-        d_params = core.filter_prefix(params, d_name)
+        d_params = self.discriminator.trainable_variables(params)
         frozen = {k: v for k, v in params.items() if k not in d_params}
 
         def loss_fn(d_params_):
@@ -336,8 +335,7 @@ class ModularGAN(AbstractGAN):
     def _gen_sub_step(self, params, state, g_opt_state, ema_params, images,
                       labels, key, step, g_tx):
         """The G training sub-step + EMA (modular_gan.py:487-510)."""
-        g_name = self.generator.name
-        g_params = core.filter_prefix(params, g_name)
+        g_params = self.generator.trainable_variables(params)
         frozen = {k: v for k, v in params.items() if k not in g_params}
 
         def loss_fn(g_params_):

@@ -25,8 +25,8 @@ def compute_fid_from_activations(fake_activations: np.ndarray,
     fake = np.asarray(fake_activations, np.float64)
     real = np.asarray(real_activations, np.float64)
     m_f, m_r = fake.mean(0), real.mean(0)
-    c_f = np.cov(fake, rowvar=False)
-    c_r = np.cov(real, rowvar=False)
+    c_f = np.atleast_2d(np.cov(fake, rowvar=False))
+    c_r = np.atleast_2d(np.cov(real, rowvar=False))
     # sqrt(C_f C_r) via eigen decomposition of the symmetrized product:
     # sqrt(C_f C_r) similar to sqrt(S_f C_r S_f) with S_f = sqrt(C_f).
     eigvals_f, eigvecs_f = np.linalg.eigh(c_f)
@@ -73,7 +73,6 @@ class FIDScoreTask(eval_task.EvalTask):
     _LABEL = "fid_score"
 
     def run_after_session(self, fake_dset, real_dset):
-        del fake_dset.images, real_dset.images  # Activations only.
         try:
             score = compute_fid_from_activations(fake_dset.activations,
                                                  real_dset.activations)

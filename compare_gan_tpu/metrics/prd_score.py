@@ -30,7 +30,8 @@ def compute_prd(eval_dist, ref_dist, num_angles=1001, epsilon=1e-10
     ev = np.asarray(eval_dist)[None, :]
     precision = np.minimum(ref * slopes, ev).sum(axis=1)
     recall = precision / slopes[:, 0]
-    return precision, recall
+    # Mathematically both are in [0, 1]; clip float-rounding excursions.
+    return np.clip(precision, 0.0, 1.0), np.clip(recall, 0.0, 1.0)
 
 
 def _cluster_into_bins(eval_data, ref_data, num_clusters):

@@ -40,9 +40,13 @@ def cross_replica_mean(value, axis_name: str = "data",
     if num % group_size:
         raise ValueError(
             f"Group size {group_size} must divide replica count {num}.")
-    groups = [list(range(g * group_size, (g + 1) * group_size))
-              for g in range(num // group_size)]
-    return jax.lax.pmean(value, axis_name, axis_index_groups=groups)
+    # axis_index_groups is not supported under shard_map on all backends;
+    # an all-gather + static slice per replica lowers to one ICI gather.
+    idx = jax.lax.axis_index(axis_name)
+    gathered = jax.lax.all_gather(value, axis_name)
+    start = (idx // group_size) * group_size
+    group_vals = jax.lax.dynamic_slice_in_dim(gathered, start, group_size)
+    return jnp.mean(group_vals, axis=0)
 
 
 def cross_replica_moments(value, axes: Sequence[int] = (0,),

@@ -33,17 +33,17 @@ def call_with_accepted_args(fn, **kwargs):
 
 
 def rotate_images(images, rot90_scalars=(0, 1, 2, 3)):
-    """Return stacked copies of the batch rotated by 0/90/180/270 degrees
-    (compare_gan/gans/utils.py:38-50): output batch = 4x input batch,
-    grouped by rotation. Pure transpose/flip — VPU-only, no gathers."""
-    results = [images]
-    if 1 in rot90_scalars:
-        results.append(jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=1))
-    if 2 in rot90_scalars:
-        results.append(jnp.flip(jnp.flip(images, axis=1), axis=2))
-    if 3 in rot90_scalars:
-        results.append(jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=2))
-    return jnp.concatenate(results, axis=0)
+    """Rotated copies of the batch, grouped rotation-major, selected by
+    rot90_scalars (compare_gan/gans/utils.py:38-50: output batch =
+    len(rot90_scalars) x input). Pure transpose/flip — VPU-only."""
+    rotations = {
+        0: lambda x: x,
+        1: lambda x: jnp.flip(jnp.transpose(x, (0, 2, 1, 3)), axis=1),
+        2: lambda x: jnp.flip(jnp.flip(x, axis=1), axis=2),
+        3: lambda x: jnp.flip(jnp.transpose(x, (0, 2, 1, 3)), axis=2),
+    }
+    return jnp.concatenate([rotations[i](images) for i in rot90_scalars],
+                           axis=0)
 
 
 def image_grid(images, grid_shape=None):

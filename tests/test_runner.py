@@ -1,0 +1,138 @@
+"""Runner/schedule tests (reference runner_lib_test.py:46-255 coverage:
+file layout, TRAIN_DONE, resume, eval_after_train with mocked Inception,
+BN-accumulator export)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from compare_gan_tpu import checkpoint as ckpt_lib
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import datasets, eval_utils, runner_lib
+import compare_gan_tpu.gans  # noqa: F401  (registers configurables)
+
+
+@pytest.fixture(autouse=True)
+def _fake_data():
+    datasets.set_fake_dataset(True)
+    yield
+    datasets.set_fake_dataset(False)
+    eval_utils.set_inception_fn(None)
+
+
+def _fake_inception(images):
+    """Tiny deterministic feature extractor (reference mocks Inception
+    with a small matmul graph, test_utils.py:87-107)."""
+    flat = images.reshape(len(images), -1).astype(np.float64) / 255.0
+    rng = np.random.RandomState(0)
+    w_pool = rng.randn(flat.shape[1], 16)
+    w_logits = rng.randn(flat.shape[1], 10)
+    return flat @ w_pool, flat @ w_logits
+
+
+def _options(training_steps=4):
+    gin.parse_config(f"""
+dataset.name = "cifar10"
+options.architecture = "dummy_arch"
+options.batch_size = 8
+options.gan_class = @ModularGAN
+options.training_steps = {training_steps}
+options.z_dim = 8
+""")
+    return runner_lib.get_options_dict()
+
+
+def _run_config(tmp_path, **kw):
+    defaults = dict(model_dir=str(tmp_path), tf_random_seed=3,
+                    iterations_per_loop=2, save_checkpoints_steps=2,
+                    keep_checkpoint_max=10)
+    defaults.update(kw)
+    return runner_lib.RunConfig(**defaults)
+
+
+def test_train_schedule_file_layout(tmp_path):
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    runner_lib.run_with_schedule("train", rc, tm, _options())
+    files = os.listdir(tmp_path)
+    assert "TRAIN_DONE" in files
+    assert "checkpoint" in files
+    assert "operative_config-0.gin" in files
+    steps = [ckpt_lib.step_of(p)
+             for p in ckpt_lib.all_checkpoints(str(tmp_path))]
+    assert steps == [0, 2, 4]
+    assert tm.is_training_done()
+
+
+def test_train_resumes_from_checkpoint(tmp_path):
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManager(str(tmp_path))
+    runner_lib.run_with_schedule("train", rc, tm, _options(2))
+    assert ckpt_lib.step_of(
+        ckpt_lib.latest_checkpoint(str(tmp_path))) == 2
+    # Continue to 4: must not restart from 0.
+    runner_lib.run_with_schedule("train", rc, tm, _options(4))
+    steps = [ckpt_lib.step_of(p)
+             for p in ckpt_lib.all_checkpoints(str(tmp_path))]
+    assert 4 in steps
+
+
+def test_eval_after_train_writes_scores_csv(tmp_path):
+    eval_utils.set_inception_fn(_fake_inception)
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    runner_lib.run_with_schedule("eval_after_train", rc, tm, _options(2),
+                                 num_eval_averaging_runs=2,
+                                 eval_every_steps=None, eval_batch_size=16)
+    score_file = os.path.join(tmp_path, "scores.csv")
+    assert os.path.exists(score_file)
+    import csv
+    with open(score_file) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1  # step-2 checkpoint (step 0 skipped)
+    for key in ["fid_score_mean", "fid_score_std", "fid_score_list",
+                "inception_score_mean"]:
+        assert key in rows[0], sorted(rows[0])
+    # Operative config columns are joined in.
+    assert any(k.startswith("options.") for k in rows[0])
+
+
+def test_unevaluated_checkpoints_divisibility(tmp_path):
+    tm = runner_lib.TaskManager(str(tmp_path))
+    for s in [0, 2, 4, 5]:
+        ckpt_lib.save_checkpoint(str(tmp_path), {"x": np.zeros(1)}, s)
+    tm.mark_training_done()
+    got = list(tm.unevaluated_checkpoints(eval_every_steps=2))
+    assert [ckpt_lib.step_of(p) for p in got] == [2, 4]
+
+
+def test_options_requires_batch_size():
+    gin.parse_config("""
+options.gan_class = @ModularGAN
+options.architecture = "dummy_arch"
+options.training_steps = 1
+""")
+    with pytest.raises(gin.ConfigError):
+        runner_lib.get_options_dict()
+
+
+def test_nan_sentinel_written(tmp_path):
+    """NaN during sampling ⇒ sentinel row (runner_lib.py:265-273)."""
+    def nan_inception(images):
+        raise eval_utils.NanFoundError("boom")
+
+    eval_utils.set_inception_fn(nan_inception)
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    recorded = {}
+
+    def spy(path, result, default):
+        recorded["args"] = (path, result, default)
+
+    tm.add_eval_result = spy
+    runner_lib.run_with_schedule("eval_after_train", rc, tm, _options(2),
+                                 eval_every_steps=None)
+    _, result, default = recorded["args"]
+    assert result == {}
+    assert default == 31337.0

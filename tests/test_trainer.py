@@ -1,0 +1,210 @@
+"""ModularGAN trainer-logic tests with the dummy architecture
+(rebuild of reference gans/modular_gan_test.py and
+gans/modular_gan_tpu_test.py:42-127 spy-based sub-step checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compare_gan_tpu import config as gin
+from compare_gan_tpu import datasets
+from compare_gan_tpu.gans.modular_gan import ModularGAN
+
+
+@pytest.fixture(autouse=True)
+def _fake_data():
+    datasets.set_fake_dataset(True)
+    yield
+    datasets.set_fake_dataset(False)
+
+
+def _make_gan(disc_iters=1, arch="dummy_arch", dataset="cifar10",
+              batch=4, **kwargs):
+    ds = datasets.get_dataset(dataset)
+    gan = ModularGAN(
+        dataset=ds, model_dir="/tmp/trainer_test",
+        parameters={"architecture": arch, "z_dim": 8, "lambda": 1,
+                    "disc_iters": disc_iters}, **kwargs)
+    return gan, batch
+
+
+def _batch(gan, batch_size, seed=0):
+    rng = np.random.RandomState(seed)
+    total = batch_size * gan.num_sub_steps
+    shape = (total,) + gan.dataset.image_shape
+    return {"images": rng.rand(*shape).astype(np.float32),
+            "labels": rng.randint(0, 10, size=(total,)).astype(np.int32)}
+
+
+def test_step_counters_interleaving():
+    """G step +1, D step +disc_iters per train step (reference
+    modular_gan_test.py:145-177 checkpoint-counter test)."""
+    gan, bs = _make_gan(disc_iters=3)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    for i in range(2):
+        ts, _ = step(ts, _batch(gan, bs, seed=i))
+    assert int(ts.step) == 2
+    assert int(ts.disc_step) == 6
+
+
+def test_substep_batch_shapes_spied():
+    """Each sub-step sees batch_size inputs; D sees 2x (real‖fake)
+    (reference modular_gan_tpu_test.py:60-68)."""
+    gan, bs = _make_gan(disc_iters=2)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    gan.generator.call_arg_list.clear()
+    gan.discriminator.call_arg_list.clear()
+    step = gan.make_train_step(bs)
+    step(ts, _batch(gan, bs))  # Untraced: spy shapes are concrete.
+    g_calls = gan.generator.call_arg_list
+    d_calls = gan.discriminator.call_arg_list
+    # 2 D sub-steps + 1 G sub-step each run G once.
+    assert len(g_calls) == 3
+    for call in g_calls:
+        assert call["z"].shape == (bs, 8)
+    # Main D forwards see concat(real, fake) = 2*bs; penalty off.
+    assert len(d_calls) == 3
+    for call in d_calls:
+        assert call["x"].shape[0] == 2 * bs
+
+
+def test_joint_gen_for_disc_batches():
+    """Joint mode: one G call with disc_iters*bs, then one for G's step
+    (reference modular_gan.py:444-463)."""
+    gan, bs = _make_gan(disc_iters=2, experimental_joint_gen_for_disc=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    gan.generator.call_arg_list.clear()
+    step = gan.make_train_step(bs)
+    step(ts, _batch(gan, bs))
+    shapes = [c["z"].shape[0] for c in gan.generator.call_arg_list]
+    assert shapes == [2 * bs, bs]
+
+
+def test_deprecated_split_disc_calls():
+    gan, bs = _make_gan(disc_iters=1, deprecated_split_disc_calls=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    gan.discriminator.call_arg_list.clear()
+    step = gan.make_train_step(bs)
+    step(ts, _batch(gan, bs))
+    # Split mode: separate real and fake D calls of bs each.
+    assert all(c["x"].shape[0] == bs
+               for c in gan.discriminator.call_arg_list)
+    assert len(gan.discriminator.call_arg_list) == 4  # 2 sub-steps x 2
+
+
+def test_training_updates_both_networks():
+    gan, bs = _make_gan(disc_iters=1)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    ts2, metrics = step(ts, _batch(gan, bs))
+    g_changed = any(
+        not np.allclose(ts.params[k], ts2.params[k])
+        for k in ts.params if k.startswith("generator/"))
+    d_changed = any(
+        not np.allclose(ts.params[k], ts2.params[k])
+        for k in ts.params if k.startswith("discriminator/"))
+    assert g_changed and d_changed
+    assert np.isfinite(float(metrics["loss/g"]))
+
+
+def test_ema_tracks_before_start_and_lags_after():
+    """decay = ema_decay * (step >= start): before start EMA == params,
+    after it lags (reference modular_gan.py:498-510)."""
+    gan, bs = _make_gan(disc_iters=1, g_use_ema=True, ema_decay=0.5,
+                        ema_start_step=2)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    ts, _ = step(ts, _batch(gan, bs, 0))  # step 0 -> decay 0
+    g_params = {k: v for k, v in ts.params.items()
+                if k.startswith("generator/")}
+    for k in g_params:
+        np.testing.assert_allclose(ts.ema_params[k], g_params[k])
+    ts, _ = step(ts, _batch(gan, bs, 1))  # step 1 -> decay 0
+    ts, _ = step(ts, _batch(gan, bs, 2))  # step 2 -> decay 0.5: lags now
+    diffs = [float(np.max(np.abs(ts.ema_params[k] - ts.params[k])))
+             for k in ts.ema_params]
+    assert max(diffs) > 0
+
+
+def test_determinism_same_seed_bitwise():
+    """Same seed ⇒ identical params after training; different seed ⇒
+    different (reference runner_lib_test.py:46-147)."""
+    results = []
+    for seed in [7, 7, 8]:
+        gan, bs = _make_gan(disc_iters=2)
+        ts = gan.init_state(jax.random.PRNGKey(seed), bs)
+        step = jax.jit(gan.make_train_step(bs))
+        for i in range(2):
+            ts, _ = step(ts, _batch(gan, bs, seed=i))
+        results.append(
+            np.concatenate([np.ravel(ts.params[k])
+                            for k in sorted(ts.params)]))
+    np.testing.assert_array_equal(results[0], results[1])
+    assert not np.array_equal(results[0], results[2])
+
+
+def test_conditional_requires_labels():
+    ds = datasets.get_dataset("cifar10")
+
+    class NoLabels:
+        name = "nolabel"
+        num_classes = None
+        image_shape = ds.image_shape
+
+    with pytest.raises(ValueError):
+        ModularGAN(dataset=NoLabels(), model_dir="/tmp/x",
+                   parameters={"architecture": "dummy_arch", "z_dim": 8,
+                               "lambda": 1}, conditional=True)
+
+
+def test_conditional_training_runs():
+    gan, bs = _make_gan(disc_iters=1, conditional=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    ts, metrics = step(ts, _batch(gan, bs))
+    assert np.isfinite(float(metrics["loss/d_0"]))
+
+
+def test_train_loop_scan_matches_stepwise():
+    """lax.scan chunk == repeated single steps (graph-unroll semantics)."""
+    gan, bs = _make_gan(disc_iters=1)
+    ts_a = gan.init_state(jax.random.PRNGKey(0), bs)
+    ts_b = jax.tree_util.tree_map(jnp.copy, ts_a)
+    batches = [_batch(gan, bs, seed=i) for i in range(3)]
+
+    step = jax.jit(gan.make_train_step(bs))
+    for b in batches:
+        ts_a, _ = step(ts_a, b)
+
+    loop = jax.jit(gan.make_train_loop(bs, 3))
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    ts_b, _ = loop(ts_b, stacked)
+
+    for k in ts_a.params:
+        np.testing.assert_allclose(ts_a.params[k], ts_b.params[k],
+                                   rtol=2e-6, atol=2e-7)
+    assert int(ts_b.step) == 3
+
+
+def test_z_generator_gin_distribution():
+    gin.parse_config("z.distribution_fn = @tf.random.normal\n"
+                     "z.stddev = 2.0")
+    gan, bs = _make_gan()
+    from compare_gan_tpu.ops import rng as random
+    with random.rng_context(jax.random.PRNGKey(0)):
+        z = gan.z_generator([512, 8], name="z")
+    assert 1.5 < float(jnp.std(z)) < 2.5  # stddev 2 normal, not U(-1,1)
+
+
+def test_sample_uses_ema_params():
+    gan, bs = _make_gan(g_use_ema=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    # Corrupt EMA: sample() must follow EMA, not raw params.
+    ema = {k: jnp.zeros_like(v) for k, v in ts.ema_params.items()}
+    ts = type(ts)(**{**ts.__dict__, "ema_params": ema})
+    z = jnp.zeros((2, 8))
+    imgs, _ = gan.sample(ts, z)
+    # Zero weights + sigmoid -> exactly 0.5 everywhere.
+    np.testing.assert_allclose(imgs, 0.5, atol=1e-6)
