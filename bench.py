@@ -29,8 +29,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # Estimated reference (TF-TPU compare_gan) per-core steps/sec for the
 # biggan_imagenet128 recipe at per-core batch 16. No number is published;
-# this anchor makes vs_baseline a stable ratio across rounds.
-REFERENCE_STEPS_PER_SEC = 1.0
+# the recipe (250k steps on a TPU v3-128, example_configs/
+# biggan_imagenet128.gin) corresponds to roughly ~2 global steps/sec in
+# era-typical multi-day runs. This anchor makes vs_baseline a stable
+# ratio across rounds.
+REFERENCE_STEPS_PER_SEC = 2.0
 
 BATCH_PER_CHIP = 16
 WARMUP_STEPS = 2
