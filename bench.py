@@ -43,7 +43,9 @@ TIMED_STEPS = 10
 def main():
     from __graft_entry__ import _make_biggan
 
-    gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP)
+    # bfloat16 activations on the MXU; params/losses/BN stats stay f32.
+    gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
+                       compute_dtype="bfloat16")
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
 

@@ -227,7 +227,6 @@ class Discriminator(abstract_arch.AbstractDiscriminator):
                     jax.nn.initializers.glorot_normal())
                 if self._spectral_norm:
                     kernel = ops.spectral_norm(kernel)
-                embedded_y = jnp.dot(y, kernel,
-                                     preferred_element_type=jnp.float32)
+                embedded_y = jnp.dot(y, kernel.astype(y.dtype))
                 out_logit += jnp.sum(embedded_y * h, axis=1, keepdims=True)
         return jax.nn.sigmoid(out_logit), out_logit, h

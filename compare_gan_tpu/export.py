@@ -1,0 +1,109 @@
+"""Model export: the TF-Hub-module surface, TPU-native.
+
+The reference exports TF-Hub modules per checkpoint with tags
+{gen, disc} × {bs8, bs16, bs32, bs64} (modular_gan.py:289-306,
+runner_lib.py:258-264) because TF1 graphs bake in batch sizes. JAX
+inference fns are shape-polymorphic, so an export is just: the inference
+parameters (EMA-swapped for G per the custom_getter semantics,
+modular_gan.py:266-284), the state (BN stats/accumulators, SN u), and a
+JSON spec describing the interface. `load_generator`/`load_discriminator`
+rebuild pure jittable fns from an export directory without the original
+gin config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Tuple
+
+import jax
+import numpy as np
+
+from compare_gan_tpu import core
+
+
+def export_module(gan, ts, export_dir: str) -> str:
+    """Write <export_dir>/{module.npz, module_spec.json}."""
+    os.makedirs(export_dir, exist_ok=True)
+    params = gan._inference_params(ts)
+    arrays = {}
+    for prefix, tree in [("params", params), ("state", ts.state)]:
+        for k, v in tree.items():
+            arrays[f"{prefix}/{k}"] = np.asarray(v)
+    with open(os.path.join(export_dir, "module.npz"), "wb") as f:
+        np.savez(f, **arrays)
+    spec = {
+        "architecture": gan._architecture,
+        "z_dim": gan.z_dim,
+        "conditional": gan.conditional,
+        "num_classes": gan.dataset.num_classes,
+        "image_shape": list(gan.dataset.image_shape),
+        "tags": ["gen", "disc"],
+        "step": int(ts.step),
+    }
+    with open(os.path.join(export_dir, "module_spec.json"), "w") as f:
+        json.dump(spec, f, indent=2)
+    return export_dir
+
+
+def _load(export_dir: str):
+    with open(os.path.join(export_dir, "module_spec.json")) as f:
+        spec = json.load(f)
+    params, state = {}, {}
+    with np.load(os.path.join(export_dir, "module.npz")) as data:
+        for k in data.files:
+            kind, name = k.split("/", 1)
+            (params if kind == "params" else state)[name] = data[k]
+    return spec, params, state
+
+
+def _build_arch(spec, kind):
+    from compare_gan_tpu.architectures import DISCRIMINATORS, GENERATORS
+    if kind == "gen":
+        return GENERATORS[spec["architecture"]](
+            image_shape=tuple(spec["image_shape"]))
+    return DISCRIMINATORS[spec["architecture"]]()
+
+
+def load_generator(export_dir: str) -> Tuple[Callable, dict]:
+    """Returns (generate(z, labels=None) -> images, spec). The fn is pure
+    and jittable at any batch size (the 'gen' hub tag)."""
+    spec, params, state = _load(export_dir)
+    generator = _build_arch(spec, "gen")
+
+    def generate(z, labels=None):
+        def fwd():
+            y = None
+            if spec["conditional"]:
+                if labels is None:
+                    raise ValueError("Conditional generator needs labels.")
+                y = jax.nn.one_hot(labels, spec["num_classes"])
+            return generator(z, y=y, is_training=False)
+
+        images, _ = core.apply(fwd, params, state)
+        return images
+
+    return generate, spec
+
+
+def load_discriminator(export_dir: str) -> Tuple[Callable, dict]:
+    """Returns (discriminate(images, labels=None) -> (pred, logits,
+    features), spec). The 'disc' hub tag."""
+    spec, params, state = _load(export_dir)
+    discriminator = _build_arch(spec, "disc")
+
+    def discriminate(images, labels=None):
+        def fwd():
+            y = None
+            if spec["conditional"]:
+                if labels is None:
+                    raise ValueError(
+                        "Conditional discriminator needs labels.")
+                y = jax.nn.one_hot(labels, spec["num_classes"])
+            return discriminator(images, y=y, is_training=False)
+
+        out, _ = core.apply(fwd, params, state)
+        return out
+
+    return discriminate, spec

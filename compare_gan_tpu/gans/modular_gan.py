@@ -95,7 +95,8 @@ class ModularGAN(AbstractGAN):
                  g_optimizer_fn=optimizers.adam_optimizer,
                  d_optimizer_fn=None,
                  g_lr=0.0002, d_lr=None,
-                 conditional=False, fit_label_distribution=False):
+                 conditional=False, fit_label_distribution=False,
+                 compute_dtype=None):
         super().__init__(dataset=dataset, parameters=parameters,
                          model_dir=model_dir)
         self._deprecated_split_disc_calls = deprecated_split_disc_calls
@@ -116,6 +117,12 @@ class ModularGAN(AbstractGAN):
                 f"does not have labels.")
         self._conditional = conditional
         self._fit_label_distribution = fit_label_distribution
+        # TPU-native extension (no reference counterpart): run G/D forwards
+        # in bfloat16 on the MXU. Parameters, optimizer state, BN statistics
+        # and losses stay float32 (the op library computes normalizations
+        # and loss reductions in f32 regardless of activation dtype).
+        self._compute_dtype = (jnp.dtype(compute_dtype)
+                               if compute_dtype else None)
 
         self._architecture = self._parameters["architecture"]
         self._z_dim = self._parameters["z_dim"]
@@ -185,11 +192,17 @@ class ModularGAN(AbstractGAN):
             return labels.astype(jnp.float32)
         return jax.nn.one_hot(labels, self._dataset.num_classes)
 
+    def _cast_compute(self, x):
+        if self._compute_dtype is not None and x is not None and \
+                jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(self._compute_dtype)
+        return x
+
     def _draw_sub_step_inputs(self, batch_size, labels):
         """z + sampled labels for one sub-step; caller installs the
         rng_context (reference _preprocess_fn, modular_gan.py:393-408)."""
-        features = {"z": self.z_generator([batch_size, self._z_dim],
-                                          name="z")}
+        features = {"z": self._cast_compute(
+            self.z_generator([batch_size, self._z_dim], name="z"))}
         if self.conditional:
             if self._fit_label_distribution:
                 features["sampled_labels"] = labels
@@ -318,7 +331,7 @@ class ModularGAN(AbstractGAN):
                     else:
                         fake = precomputed_fake
                     features["generated"] = jax.lax.stop_gradient(fake)
-                    features["images"] = images
+                    features["images"] = self._cast_compute(images)
                     return self.create_loss(features, labels,
                                             is_training=True)
 
@@ -350,7 +363,7 @@ class ModularGAN(AbstractGAN):
                         if self.conditional else None)
                     features["generated"] = self.generator(
                         features["z"], y=sampled_y, is_training=True)
-                    features["images"] = images
+                    features["images"] = self._cast_compute(images)
                     return self.create_loss(features, labels,
                                             is_training=True)
 

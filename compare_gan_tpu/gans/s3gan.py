@@ -63,8 +63,7 @@ class S3GAN(modular_gan.ModularGAN):
                                 jax.nn.initializers.glorot_normal())
             if use_sn:
                 kernel = ops.spectral_norm(kernel)
-            return jnp.dot(y, kernel, preferred_element_type=jnp.float32
-                           ).astype(y.dtype)
+            return jnp.dot(y, kernel.astype(y.dtype))
 
     def discriminator_with_additonal_heads(self, x, y, is_training):
         """D + rotation/predictor/projection heads (s3gan.py:96-158).

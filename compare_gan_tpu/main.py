@@ -47,7 +47,8 @@ flags.DEFINE_integer("num_devices", None,
 
 
 def _get_run_config(iterations_per_loop=100, save_checkpoints_steps=5000,
-                    keep_checkpoint_max=1000, tf_random_seed=None):
+                    keep_checkpoint_max=1000, tf_random_seed=None,
+                    profile=False):
     """Gin-configurable run config (reference `_get_run_config`,
     main.py:79-95; same binding names)."""
     return runner_lib.RunConfig(
@@ -56,7 +57,8 @@ def _get_run_config(iterations_per_loop=100, save_checkpoints_steps=5000,
         iterations_per_loop=iterations_per_loop,
         save_checkpoints_steps=save_checkpoints_steps,
         keep_checkpoint_max=keep_checkpoint_max,
-        num_devices=FLAGS.num_devices)
+        num_devices=FLAGS.num_devices,
+        profile=profile)
 
 
 _get_run_config = gin.configurable("run_config")(_get_run_config)

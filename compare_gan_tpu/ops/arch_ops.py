@@ -146,8 +146,10 @@ def linear(x, output_size, scope="linear", stddev=0.02, bias_start=0.0,
                             weight_initializer(stddev=stddev))
         if use_sn:
             kernel = spectral_norm(kernel)
-        out = jnp.dot(x, kernel.astype(x.dtype),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+        # No preferred_element_type: its conv/dot transpose rule rejects
+        # mixed bf16/f32 cotangents, and the TPU MXU accumulates bf16
+        # matmuls in f32 internally regardless.
+        out = jnp.dot(x, kernel.astype(x.dtype))
         if use_bias:
             bias = core.param("bias", (output_size,),
                               constant_init(bias_start))
@@ -165,8 +167,7 @@ def conv2d(x, output_dim, k_h, k_w, d_h, d_w, stddev=0.02, name="conv2d",
             w = spectral_norm(w)
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(d_h, d_w), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if use_bias:
             bias = core.param("bias", (output_dim,), constant_init(0.0))
             out = out + bias.astype(out.dtype)
@@ -192,8 +193,7 @@ def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
             w = spectral_norm(w)
         out = jax.lax.conv_transpose(
             x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
-            dimension_numbers=("NHWC", "HWOI", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWOI", "NHWC"))
         bias = core.param("bias", (out_ch,), constant_init(0.0))
         return out + bias.astype(out.dtype)
 
@@ -534,15 +534,15 @@ def non_local_block(x, name, use_sn):
                       use_bias=False)
         phi = _max_pool_2x2(phi).reshape(b, (h // 2) * (w // 2), attn_ch)
 
-        attn = jnp.einsum("bnc,bmc->bnm", theta, phi,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
+        # Softmax in f32 for numerical stability under bf16 activations.
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(x.dtype)
 
         g = conv1x1(x, g_ch, name="conv2d_g", use_sn=use_sn, use_bias=False)
         g = _max_pool_2x2(g).reshape(b, (h // 2) * (w // 2), g_ch)
 
-        attn_g = jnp.einsum("bnm,bmc->bnc", attn, g,
-                            preferred_element_type=jnp.float32)
+        attn_g = jnp.einsum("bnm,bmc->bnc", attn, g)
         attn_g = attn_g.reshape(b, h, w, g_ch).astype(x.dtype)
         sigma = core.param("sigma", (), zeros_init())
         attn_g = conv1x1(attn_g, num_channels, name="conv2d_attn_g",

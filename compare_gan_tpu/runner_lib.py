@@ -29,6 +29,7 @@ import numpy as np
 from compare_gan_tpu import checkpoint as ckpt_lib
 from compare_gan_tpu import config as gin
 from compare_gan_tpu import datasets
+from compare_gan_tpu import hooks as hooks_lib
 from compare_gan_tpu import summaries as summaries_lib
 from compare_gan_tpu import utils
 from compare_gan_tpu.parallel import mesh_utils
@@ -45,6 +46,11 @@ class RunConfig:
     keep_checkpoint_max: int = 1000
     save_summary_steps: int = 250
     num_devices: Optional[int] = None  # None: all local devices.
+    # Capture a jax.profiler trace (XProf-compatible) of the second loop
+    # chunk into <model_dir>/profile when True. The reference's only
+    # profiling affordance was a docstring pointing at XProf
+    # (tpu_summaries.py:35-37); here it's built in.
+    profile: bool = False
 
 
 @gin.configurable("options")
@@ -223,12 +229,25 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     batches = gan.input_batches(batch_size)
     loop_steps = run_config.iterations_per_loop
     step = start_step
-    t_start = time.time()
+    progress = hooks_lib.ReportProgressHook(
+        task_manager, max_steps=max_steps,
+        every_n_steps=min(100, loop_steps))
+    progress.report(start_step)
     next_chunk = mesh_utils.stage_chunk(batches, loop_steps, shard_batch)
+    chunk_index = 0
     while step < max_steps:
         chunk = next_chunk
         steps_this_chunk = min(loop_steps, max_steps - step)
+        # Profile the second chunk (first is compile + warmup).
+        profiling = run_config.profile and chunk_index == 1
+        if profiling:
+            jax.profiler.start_trace(os.path.join(model_dir, "profile"))
         ts, metrics = train_loop(ts, chunk)
+        if profiling:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+        chunk_index += 1
         # Overlap: stage the next chunk while the device runs this one is
         # achieved by dispatch-then-stage; jax dispatches train_loop
         # asynchronously, so staging below overlaps device compute.
@@ -240,11 +259,7 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         metrics = jax.tree_util.tree_map(np.asarray, metrics)
         writer.scalars(metrics, step)
         writer.flush()
-        steps_per_sec = (step - start_step) / (time.time() - t_start)
-        eta_hours = (max_steps - step) / max(steps_per_sec, 1e-6) / 3600.0
-        task_manager.report_progress(
-            f"step_{step}_steps_per_sec_{steps_per_sec:.2f}"
-            f"_ETA_{eta_hours:.1f}h")
+        progress.report(step)
         if saver.should_save(step) or step >= max_steps:
             saver.save(ts, step)
     saver.join()
@@ -263,12 +278,20 @@ def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
               num_averaging_runs, eval_tasks=None):
     """Evaluate checkpoints → scores.csv (runner_lib.py:235-277).
     NaN ⇒ sentinel 31337.0 (eval_gan_lib.NAN_DETECTED)."""
-    from compare_gan_tpu import eval_gan_lib
+    from compare_gan_tpu import eval_gan_lib, export
     eval_tasks = eval_tasks or _default_eval_tasks()
     for checkpoint_path in checkpoints:
         step = ckpt_lib.step_of(checkpoint_path)
         if step == 0:
             continue
+        # Export the module snapshot per checkpoint (reference exports
+        # TF-Hub modules to model_dir/tfhub/<step>, runner_lib.py:258-264).
+        export_path = os.path.join(run_config.model_dir, "tfhub", str(step))
+        if not os.path.exists(os.path.join(export_path,
+                                           "module_spec.json")):
+            template = gan.init_state(jax.random.PRNGKey(0), batch_size)
+            ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
+            export.export_module(gan, ts, export_path)
         default_value = -1.0
         try:
             result_dict = eval_gan_lib.evaluate_checkpoint(
