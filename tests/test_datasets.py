@@ -62,7 +62,8 @@ def test_eval_input_not_shuffled_and_finite():
     imgs = [b["images"] for b in ds.eval_input_fn(16)]
     imgs2 = [b["images"] for b in ds.eval_input_fn(16)]
     np.testing.assert_array_equal(imgs[0], imgs2[0])
-    assert sum(len(i) for i in imgs) <= ds.eval_test_samples + 16
+    # Finite: the fake source has 128 examples -> exactly 8 batches.
+    assert sum(len(i) for i in imgs) == 128
 
 
 def test_fake_eval_samples_capped():
