@@ -46,7 +46,6 @@ import optax
 from compare_gan_tpu import config as gin
 from compare_gan_tpu import core
 from compare_gan_tpu import utils
-from compare_gan_tpu.architectures import DISCRIMINATORS, GENERATORS
 from compare_gan_tpu.gans import loss_lib, penalty_lib
 from compare_gan_tpu.gans import optimizers
 from compare_gan_tpu.gans.abstract_gan import AbstractGAN
@@ -148,6 +147,9 @@ class ModularGAN(AbstractGAN):
 
     @property
     def generator(self):
+        # Imported lazily: architectures modules import gans.consts, so a
+        # top-level import here would be circular.
+        from compare_gan_tpu.architectures import GENERATORS
         if self._generator is None:
             if self._architecture not in GENERATORS:
                 raise NotImplementedError(
@@ -159,6 +161,7 @@ class ModularGAN(AbstractGAN):
 
     @property
     def discriminator(self):
+        from compare_gan_tpu.architectures import DISCRIMINATORS
         if self._discriminator is None:
             if self._architecture not in DISCRIMINATORS:
                 raise NotImplementedError(
