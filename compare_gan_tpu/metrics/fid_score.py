@@ -42,26 +42,31 @@ def compute_fid_from_activations(fake_activations: np.ndarray,
 def fid_on_device(fake_activations, real_activations, num_iters=20):
     """f32 FID entirely on device: Newton–Schulz iteration for
     tr·sqrt(C_f·C_r). MXU-friendly (pure matmuls); stays within ~1% of the
-    f64 host value for Inception-scale covariances."""
+    f64 host value for Inception-scale covariances. All matmuls pinned to
+    HIGHEST precision — TPU's default matmul path is bf16-accumulated,
+    which is far too coarse for covariance square roots."""
+    import functools
+    import jax
     import jax.numpy as jnp
 
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     fake = jnp.asarray(fake_activations, jnp.float32)
     real = jnp.asarray(real_activations, jnp.float32)
     m_f, m_r = fake.mean(0), real.mean(0)
 
     def cov(x, m):
         xc = x - m
-        return (xc.T @ xc) / (x.shape[0] - 1)
+        return mm(xc.T, xc) / (x.shape[0] - 1)
 
     c_f, c_r = cov(fake, m_f), cov(real, m_r)
-    prod = c_f @ c_r
+    prod = mm(c_f, c_r)
     # Newton–Schulz on the normalized product.
-    norm = jnp.sqrt(jnp.trace(prod @ prod.T))
+    norm = jnp.sqrt(jnp.trace(mm(prod, prod.T)))
     y = prod / norm
     z = jnp.eye(prod.shape[0], dtype=jnp.float32)
     for _ in range(num_iters):
-        t = 0.5 * (3.0 * jnp.eye(prod.shape[0]) - z @ y)
-        y, z = y @ t, t @ z
+        t = 0.5 * (3.0 * jnp.eye(prod.shape[0]) - mm(z, y))
+        y, z = mm(y, t), mm(t, z)
     sqrt_prod = y * jnp.sqrt(norm)
     return (jnp.sum((m_f - m_r) ** 2) + jnp.trace(c_f) + jnp.trace(c_r)
             - 2.0 * jnp.trace(sqrt_prod))

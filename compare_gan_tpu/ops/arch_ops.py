@@ -116,20 +116,24 @@ def spectral_norm(w, epsilon=1e-12, singular_value="left",
         u_shape = (1, w_mat.shape[1])
     u = core.get_state(state_name, u_shape, init=_normal_init(1.0),
                        dtype=w_mat.dtype)
+    # Power-iteration matmuls are tiny; pin them to full f32 so the sigma
+    # estimate is immune to TPU's default bf16-accumulated matmul path.
+    mm = functools.partial(jnp.matmul,
+                           precision=jax.lax.Precision.HIGHEST)
     # One power-iteration round (sufficient per Miyato et al. 2018).
     if singular_value == "left":
-        v = _l2_normalize(w_mat.T @ u, epsilon)
-        u = _l2_normalize(w_mat @ v, epsilon)
+        v = _l2_normalize(mm(w_mat.T, u), epsilon)
+        u = _l2_normalize(mm(w_mat, v), epsilon)
     else:
-        v = _l2_normalize(u @ w_mat.T, epsilon)
-        u = _l2_normalize(v @ w_mat, epsilon)
+        v = _l2_normalize(mm(u, w_mat.T), epsilon)
+        u = _l2_normalize(mm(v, w_mat), epsilon)
     core.set_state(state_name, jax.lax.stop_gradient(u))
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     if singular_value == "left":
-        sigma = (u.T @ w_mat @ v)[0, 0]
+        sigma = mm(mm(u.T, w_mat), v)[0, 0]
     else:
-        sigma = (v @ w_mat @ u.T)[0, 0]
+        sigma = mm(mm(v, w_mat), u.T)[0, 0]
     return jnp.reshape(w_mat / sigma, w.shape)
 
 
