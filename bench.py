@@ -44,8 +44,11 @@ def main():
     from __graft_entry__ import _make_biggan
 
     # bfloat16 activations on the MXU; params/losses/BN stats stay f32.
+    # joint_gen_for_disc batches the G forwards for both D sub-steps
+    # (the reference's experimental_joint_gen_for_disc option,
+    # modular_gan.py:444-463).
     gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16", joint_gen_for_disc=True)
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
 

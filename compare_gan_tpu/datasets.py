@@ -420,10 +420,13 @@ class ImageDatasetV2:
             batch_size)
         return _prefetch(it, prefetch)
 
-    def load_eval_images(self, num_samples, split="test"):
+    def load_eval_images(self, num_samples, split="test",
+                         failure_on_insufficient_examples=True):
         """Pull `num_samples` eval images to a NumPy array in [0, 255]
         (reference eval_utils.get_real_images, eval_utils.py:87-141),
-        tiling 1→3 channels."""
+        tiling 1→3 channels. With failure_on_insufficient_examples=False
+        returns however many are available (accuracy.py:75-79 uses
+        this for the train split)."""
         out = []
         for batch in self.eval_input_fn(batch_size=min(64, num_samples),
                                         split=split):
@@ -435,7 +438,7 @@ class ImageDatasetV2:
         images = np.concatenate(out, 0)[:num_samples] * 255.0
         if images.shape[-1] == 1:
             images = np.tile(images, (1, 1, 1, 3))
-        if len(images) < num_samples:
+        if len(images) < num_samples and failure_on_insufficient_examples:
             raise ValueError(
                 f"Only {len(images)} eval images available, "
                 f"need {num_samples}.")

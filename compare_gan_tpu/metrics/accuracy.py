@@ -35,7 +35,8 @@ class AccuracyTask(eval_task.EvalTask):
         Images are [N,H,W,C] in [0,255]; predictions ≥ 0.5 on real and
         < 0.5 on fake count as correct."""
         train_images = gan.dataset.load_eval_images(
-            min(max_train_examples, 10 * len(test_images)), split="train")
+            min(max_train_examples, 10 * len(test_images)), split="train",
+            failure_on_insufficient_examples=False)
         if train_images.shape[0] < test_images.shape[0]:
             raise ValueError(
                 f"num_train {train_images.shape[0]} must be larger than "

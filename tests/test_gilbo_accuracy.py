@@ -1,0 +1,61 @@
+"""Smoke tests for the legacy run-in-session metrics: GILBO regressor
+training and D-accuracy (reference metrics/gilbo.py, metrics/accuracy.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from compare_gan_tpu import datasets
+from compare_gan_tpu.gans.modular_gan import ModularGAN
+from compare_gan_tpu.metrics import accuracy as accuracy_lib
+from compare_gan_tpu.metrics import gilbo as gilbo_lib
+
+
+@pytest.fixture(autouse=True)
+def _fake_data():
+    datasets.set_fake_dataset(True)
+    yield
+    datasets.set_fake_dataset(False)
+
+
+def _gan():
+    ds = datasets.get_dataset("cifar10")
+    return ModularGAN(dataset=ds, model_dir="/tmp/gilbo_test",
+                      parameters={"architecture": "dummy_arch", "z_dim": 4,
+                                  "lambda": 1, "disc_iters": 1})
+
+
+def test_gilbo_trains_and_reports():
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    task = gilbo_lib.GILBOTask()
+    out = task.run_with_gan(gan, ts, batch_size=8, train_steps=20,
+                            eval_batches=2)
+    assert set(out) == task.metric_list()
+    assert np.isfinite(out["gilbo"])
+    assert np.isfinite(out["gilbo_self_consistency"])
+    # GILBO is bounded above by I(z; x) <= H(z) = z_dim * log 2... in nats
+    # it can be anything <= -log p(z); just check it's not absurd.
+    assert -100 < out["gilbo"] < 100
+
+
+def test_accuracy_task_reports_all_keys():
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    test_images = gan.dataset.load_eval_images(64)
+    task = accuracy_lib.AccuracyTask()
+    out = task.run_with_gan(gan, ts, test_images, num_repeat=1,
+                            batch_size=16)
+    assert set(out) == task.metric_list()
+    for key in ["train_accuracy", "test_accuracy", "fake_accuracy"]:
+        assert 0.0 <= out[key] <= 1.0, (key, out[key])
+
+
+def test_accuracy_requires_enough_train_images():
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    test_images = gan.dataset.load_eval_images(100)
+    task = accuracy_lib.AccuracyTask()
+    with pytest.raises(ValueError):
+        task.run_with_gan(gan, ts, test_images, max_train_examples=10,
+                          num_repeat=1)
