@@ -258,6 +258,8 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         # Blocks on metrics only (small transfer).
         metrics = jax.tree_util.tree_map(np.asarray, metrics)
         writer.scalars(metrics, step)
+        if writer.should_write(step):
+            _write_image_summaries(writer, gan, ts, batch_size, step)
         writer.flush()
         progress.report(step)
         if saver.should_save(step) or step >= max_steps:
@@ -265,6 +267,23 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     saver.join()
     writer.close()
     return ts
+
+
+def _write_image_summaries(writer, gan, ts, batch_size, step):
+    """8x8 grid of fixed-z samples (reference fake_images grids,
+    modular_gan.py:308-343). Fixed z so TensorBoard shows the same
+    latents evolving."""
+    try:
+        n = min(64, batch_size * gan.num_sub_steps)
+        z = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(42), (n, gan.z_dim), minval=-1.0,
+            maxval=1.0))
+        labels = (np.arange(n) % gan.dataset.num_classes
+                  if gan.conditional else None)
+        images, _ = gan.sample(ts, z, labels=labels)
+        writer.image_grid("fake_images", np.asarray(images), step)
+    except Exception:  # Summaries must never kill training.
+        pass
 
 
 def _default_eval_tasks():
