@@ -48,7 +48,7 @@ def main():
     # (the reference's experimental_joint_gen_for_disc option,
     # modular_gan.py:444-463).
     gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
-                       compute_dtype="bfloat16", joint_gen_for_disc=True)
+                       compute_dtype="bfloat16")
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
 

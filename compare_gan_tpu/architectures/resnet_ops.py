@@ -13,9 +13,19 @@ import math
 
 import jax.numpy as jnp
 
+from compare_gan_tpu import config as gin
 from compare_gan_tpu import core
 from compare_gan_tpu.architectures import abstract_arch
 from compare_gan_tpu.ops import arch_ops as ops
+
+
+@gin.configurable("resnet_ops")
+def fusion_options(fused_scale_convs=True):
+    """TPU-native: fuse unpool+conv (lhs-dilated conv) and conv+avgpool
+    (blurred stride-2 kernel). Exact to the unfused reference math
+    (tests/test_fused_scale_convs.py); disable via
+    `resnet_ops.fused_scale_convs = False`."""
+    return fused_scale_convs
 
 
 def unpool(value):
@@ -69,6 +79,18 @@ class ResNetBlock:
                   kernel_size=(3, 3), strides=(1, 1)):
         if inputs.shape[-1] != in_channels:
             raise ValueError("Unexpected number of input channels.")
+        name = "{}_{}".format("same" if scale == "none" else scale, suffix)
+        fused = fusion_options() and strides == (1, 1)
+        if scale == "up" and fused:
+            return ops.up_conv2d(
+                inputs, output_dim=out_channels,
+                k_h=kernel_size[0], k_w=kernel_size[1],
+                use_sn=self._spectral_norm, name=name)
+        if scale == "down" and fused:
+            return ops.down_conv2d(
+                inputs, output_dim=out_channels,
+                k_h=kernel_size[0], k_w=kernel_size[1],
+                use_sn=self._spectral_norm, name=name)
         out = inputs
         if scale == "up":
             out = unpool(out)
@@ -77,7 +99,7 @@ class ResNetBlock:
             k_h=kernel_size[0], k_w=kernel_size[1],
             d_h=strides[0], d_w=strides[1],
             use_sn=self._spectral_norm,
-            name="{}_{}".format("same" if scale == "none" else scale, suffix))
+            name=name)
         if scale == "down":
             out = avg_pool_2x2(out)
         return out

@@ -517,6 +517,11 @@ class ModularGAN(AbstractGAN):
     def input_batches(self, batch_size, host_id=None):
         """Host iterator of {images, labels} with leading dim
         batch_size * num_sub_steps (as_estimator's
-        train_batch_size=batch_size*num_sub_steps, modular_gan.py:215-223)."""
+        train_batch_size=batch_size*num_sub_steps, modular_gan.py:215-223).
+        Defaults to this process's index so multi-host runs get distinct,
+        deterministic shards (reference per-host seeding,
+        datasets.py:147-172)."""
+        if host_id is None:
+            host_id = jax.process_index()
         return self._dataset.train_input_fn(
             batch_size * self.num_sub_steps, host_id=host_id)

@@ -219,12 +219,17 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     train_loop, shard_batch, ts = mesh_utils.compile_train_loop(
         gan, ts, mesh, batch_size, run_config.iterations_per_loop)
 
+    # Host 0 owns all file outputs (multi-host: other processes train the
+    # same replicated state and skip writes, like TPUEstimator host 0).
+    is_chief = jax.process_index() == 0
     writer = summaries_lib.SummaryWriter(
-        model_dir, save_summary_steps=run_config.save_summary_steps)
+        model_dir, save_summary_steps=run_config.save_summary_steps) \
+        if is_chief else None
     saver = ckpt_lib.AsyncCheckpointSaver(
         model_dir, run_config.save_checkpoints_steps,
         run_config.keep_checkpoint_max)
-    _save_operative_config(model_dir, start_step)
+    if is_chief:
+        _save_operative_config(model_dir, start_step)
 
     batches = gan.input_batches(batch_size)
     loop_steps = run_config.iterations_per_loop
@@ -257,15 +262,17 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         step += steps_this_chunk
         # Blocks on metrics only (small transfer).
         metrics = jax.tree_util.tree_map(np.asarray, metrics)
-        writer.scalars(metrics, step)
-        if writer.should_write(step):
-            _write_image_summaries(writer, gan, ts, batch_size, step)
-        writer.flush()
+        if writer is not None:
+            writer.scalars(metrics, step)
+            if writer.should_write(step):
+                _write_image_summaries(writer, gan, ts, batch_size, step)
+            writer.flush()
         progress.report(step)
-        if saver.should_save(step) or step >= max_steps:
+        if is_chief and (saver.should_save(step) or step >= max_steps):
             saver.save(ts, step)
     saver.join()
-    writer.close()
+    if writer is not None:
+        writer.close()
     return ts
 
 
