@@ -65,6 +65,32 @@ def image_grid(images, grid_shape=None):
             .reshape(gh * h, gw * w, c))
 
 
+def check_folder(log_dir):
+    """mkdir -p and return the path (compare_gan/gans/utils.py:24-30)."""
+    import os
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir
+
+
+def save_images(images, image_path):
+    """Save an image (grid) in [0, 1] to disk
+    (compare_gan/gans/utils.py:33-35; scipy.misc.imsave → PIL)."""
+    from PIL import Image
+    arr = np.asarray(images)
+    if arr.ndim == 4:
+        arr = image_grid(arr)
+    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[:, :, 0]
+    Image.fromarray(arr).save(image_path)
+
+
+def gaussian(batch_size, n_dim, mean=0.0, var=1.0):
+    """NumPy gaussian batch (compare_gan/gans/utils.py:53-54)."""
+    return np.random.normal(mean, var, (batch_size, n_dim)).astype(
+        np.float32)
+
+
 def get_parameter_overview(params: Dict[str, jax.Array],
                            include_stats: bool = False) -> str:
     """Markdown-ish table of variables (compare_gan/utils.py:99-175)."""
