@@ -370,10 +370,20 @@ class ImageDatasetV2:
                 return
             epoch += 1
 
-    def _iter_examples(self, split, shuffle, repeat, transform, seed):
+    def _iter_examples(self, split, shuffle, repeat, transform, seed,
+                       skip_examples=0):
+        """Per-example transform RNG is keyed by the example's stream
+        position (not a shared sequential generator), so a resumed run can
+        fast-forward `skip_examples` WITHOUT decoding and still produce
+        the byte-identical stream an unbroken run would see."""
         src = self._get_source()
-        rng = np.random.Generator(np.random.Philox(key=(seed + 131) % 2**63))
+        position = -1
         for idx in self._iter_indices(split, shuffle, repeat, seed):
+            position += 1
+            if position < skip_examples:
+                continue
+            rng = np.random.Generator(np.random.Philox(
+                key=(seed + 131) % 2**63, counter=position))
             image, label = src.get(split, idx, self._seed)
             if self._filter_fn is not None and not self._filter_fn(
                     image, label):
@@ -396,13 +406,16 @@ class ImageDatasetV2:
                        "labels": lab}
                 images, labels = [], []
 
-    def train_input_fn(self, batch_size, prefetch=2, host_id=None):
+    def train_input_fn(self, batch_size, prefetch=2, host_id=None,
+                       skip_batches=0):
         """Infinite shuffled deterministic stream (reference
-        `train_input_fn`, datasets.py:261-291)."""
+        `train_input_fn`, datasets.py:261-291). `skip_batches`
+        fast-forwards without decoding (resume alignment)."""
         seed = self._host_seed(host_id)
         it = self._batch(
             self._iter_examples("train", shuffle=True, repeat=True,
-                                transform=self._train_transform, seed=seed),
+                                transform=self._train_transform, seed=seed,
+                                skip_examples=skip_batches * batch_size),
             batch_size)
         return _prefetch(it, prefetch)
 

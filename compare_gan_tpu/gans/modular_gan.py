@@ -514,7 +514,7 @@ class ModularGAN(AbstractGAN):
 
     # -- input -------------------------------------------------------------
 
-    def input_batches(self, batch_size, host_id=None):
+    def input_batches(self, batch_size, host_id=None, skip_batches=0):
         """Host iterator of {images, labels} with leading dim
         batch_size * num_sub_steps (as_estimator's
         train_batch_size=batch_size*num_sub_steps, modular_gan.py:215-223).
@@ -524,4 +524,5 @@ class ModularGAN(AbstractGAN):
         if host_id is None:
             host_id = jax.process_index()
         return self._dataset.train_input_fn(
-            batch_size * self.num_sub_steps, host_id=host_id)
+            batch_size * self.num_sub_steps, host_id=host_id,
+            skip_batches=skip_batches)

@@ -231,7 +231,10 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     if is_chief:
         _save_operative_config(model_dir, start_step)
 
-    batches = gan.input_batches(batch_size)
+    # Fast-forward the input stream so a resumed run consumes exactly the
+    # batches an unbroken run would (bitwise resume determinism; the
+    # reference restarts its tf.data pipeline from scratch instead).
+    batches = gan.input_batches(batch_size, skip_batches=start_step)
     loop_steps = run_config.iterations_per_loop
     step = start_step
     progress = hooks_lib.ReportProgressHook(
