@@ -1,0 +1,70 @@
+"""Secondary benchmark: FID-eval throughput on TPU.
+
+Measures generator sampling + InceptionV3 feature extraction images/sec —
+the pipeline the reference could only run on CPU/GPU (README.md:113-115).
+Prints ONE JSON line (not the driver's primary bench; see bench.py).
+Uses randomly initialized Inception weights: throughput is weight-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+BATCH = 64
+BATCHES = 16
+
+
+def main():
+    from compare_gan_tpu.metrics import inception_net
+    from __graft_entry__ import _make_biggan
+    from compare_gan_tpu import core
+
+    gan = _make_biggan(resolution=128, batch_size=BATCH,
+                       compute_dtype="bfloat16")
+    inception = inception_net.init_random(jax.random.PRNGKey(1))
+
+    z = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (BATCH, 120)).astype(np.float32))
+    labels = jnp.arange(BATCH) % 1000
+
+    def g_fwd(z_in, labels_in):
+        y = jax.nn.one_hot(labels_in, 1000)
+        return gan.generator(z_in, y=y, is_training=False)
+
+    _, params, state = core.init(g_fwd, jax.random.PRNGKey(0), z, labels)
+
+    @jax.jit
+    def sample_and_extract(key):
+        z_i = jax.random.uniform(key, (BATCH, 120), minval=-1.0, maxval=1.0)
+        images, _ = core.apply(g_fwd, params, state, z_i, labels)
+        pool, logits = inception_net._feature_jit(inception, images * 255.0)
+        return pool.sum(), logits.sum()
+
+    s, _ = sample_and_extract(jax.random.PRNGKey(0))
+    float(s)  # Materialize (block_until_ready can return early on axon).
+
+    t0 = time.perf_counter()
+    for i in range(BATCHES):
+        s, _ = sample_and_extract(jax.random.PRNGKey(i))
+    float(s)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * BATCHES / dt
+    print(json.dumps({
+        "metric": "fid_eval_images_per_sec_on_tpu",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

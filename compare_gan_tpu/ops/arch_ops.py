@@ -570,6 +570,15 @@ def _max_pool_2x2(x):
         window_strides=(1, 2, 2, 1), padding="VALID")
 
 
+@gin.configurable("attention")
+def attention_options(use_pallas=None):
+    """use_pallas: None = auto (Pallas fused attention on TPU, einsum
+    elsewhere); True/False force."""
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def non_local_block(x, name, use_sn):
     """SAGAN self-attention (arch_ops.py:709-758): theta/phi/g 1x1 convs,
     2x2 max-pool on phi and g, softmax attention, learned sigma gate.
@@ -590,15 +599,18 @@ def non_local_block(x, name, use_sn):
                       use_bias=False)
         phi = _max_pool_2x2(phi).reshape(b, (h // 2) * (w // 2), attn_ch)
 
-        attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
-        # Softmax in f32 for numerical stability under bf16 activations.
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                              axis=-1).astype(x.dtype)
-
         g = conv1x1(x, g_ch, name="conv2d_g", use_sn=use_sn, use_bias=False)
         g = _max_pool_2x2(g).reshape(b, (h // 2) * (w // 2), g_ch)
 
-        attn_g = jnp.einsum("bnm,bmc->bnc", attn, g)
+        if attention_options():
+            from compare_gan_tpu.ops import pallas_attention
+            attn_g = pallas_attention.fused_attention(theta, phi, g)
+        else:
+            attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
+            # Softmax in f32 for stability under bf16 activations.
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
+            attn_g = jnp.einsum("bnm,bmc->bnc", attn, g)
         attn_g = attn_g.reshape(b, h, w, g_ch).astype(x.dtype)
         sigma = core.param("sigma", (), zeros_init())
         attn_g = conv1x1(attn_g, num_channels, name="conv2d_attn_g",
