@@ -102,24 +102,82 @@ def _update_bn_accumulators(gan, ts, batch_size, num_accu_examples):
     return state, True
 
 
+def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
+                          batch_size=64, num_averaging_runs=1,
+                          num_accu_examples=204800) -> Dict[str, float]:
+    """Evaluate a module export directory (the reference's
+    evaluate_tfhub_module surface, eval_gan_lib.py:95). The export carries
+    EMA-resolved generator params + state (export.py), so this needs no
+    gin config or checkpoint."""
+    from compare_gan_tpu import datasets as datasets_lib
+    from compare_gan_tpu import export as export_lib
+
+    spec, params, state = export_lib._load(export_dir)
+    generator = export_lib._build_arch(spec, "gen")
+    if dataset is None:
+        if "dataset" not in spec:
+            raise ValueError("Pass the dataset used for training.")
+        dataset = datasets_lib.get_dataset(spec["dataset"])
+
+    class _ExportShim:
+        """Just enough GAN surface for the shared eval helpers."""
+        z_dim = spec["z_dim"]
+        conditional = spec["conditional"]
+        model_dir = export_dir
+
+        def __init__(self):
+            self.dataset = dataset
+            self.generator = generator
+
+        def _inference_params(self, ts=None, use_ema=None):
+            return params
+
+        def _get_one_hot_labels(self, labels):
+            return jax.nn.one_hot(labels, dataset.num_classes)
+
+    shim = _ExportShim()
+    ts = _ShimState(params=params, state=state)
+    return _evaluate(shim, ts, eval_tasks, batch_size=batch_size,
+                     num_averaging_runs=num_averaging_runs,
+                     num_accu_examples=num_accu_examples,
+                     export_accu_checkpoint=False, checkpoint_path=None)
+
+
+class _ShimState:
+    def __init__(self, params, state):
+        self.params = params
+        self.state = state
+
+
 def evaluate_checkpoint(gan, checkpoint_path, eval_tasks, batch_size=64,
                         num_averaging_runs=1, num_accu_examples=204800,
                         export_accu_checkpoint=True) -> Dict[str, float]:
     """Evaluate one checkpoint (reference evaluate_tfhub_module,
     eval_gan_lib.py:95-212). Returns {metric_{mean,std,list}: value}."""
+    template = gan.init_state(jax.random.PRNGKey(0), batch_size)
+    ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
+    return _evaluate(gan, ts, eval_tasks, batch_size=batch_size,
+                     num_averaging_runs=num_averaging_runs,
+                     num_accu_examples=num_accu_examples,
+                     export_accu_checkpoint=export_accu_checkpoint,
+                     checkpoint_path=checkpoint_path)
+
+
+def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
+              num_accu_examples, export_accu_checkpoint,
+              checkpoint_path) -> Dict[str, float]:
     np.random.seed(42)
     dataset = gan.dataset
     num_test_examples = dataset.eval_test_samples
     num_batches = int(np.ceil(num_test_examples / batch_size))
 
-    template = gan.init_state(jax.random.PRNGKey(0), batch_size)
-    ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
-
     state, had_accus = _update_bn_accumulators(
         gan, ts, batch_size, num_accu_examples=num_accu_examples)
     if had_accus:
-        ts = type(ts)(**{**ts.__dict__, "state": state})
-        if export_accu_checkpoint:
+        ts = _ShimState(params=ts.params, state=state) \
+            if isinstance(ts, _ShimState) \
+            else type(ts)(**{**ts.__dict__, "state": state})
+        if export_accu_checkpoint and checkpoint_path is not None:
             step = ckpt_lib.step_of(checkpoint_path)
             accu_dir = os.path.join(gan.model_dir, "tfhub", str(step))
             os.makedirs(accu_dir, exist_ok=True)

@@ -35,6 +35,7 @@ def export_module(gan, ts, export_dir: str) -> str:
         np.savez(f, **arrays)
     spec = {
         "architecture": gan._architecture,
+        "dataset": gan.dataset.name,
         "z_dim": gan.z_dim,
         "conditional": gan.conditional,
         "num_classes": gan.dataset.num_classes,

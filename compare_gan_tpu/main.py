@@ -44,6 +44,10 @@ flags.DEFINE_bool(
     "If True, the real data is replaced by a fake dataset.")
 flags.DEFINE_integer("num_devices", None,
                      "Devices in the mesh (default: all local).")
+flags.DEFINE_bool(
+    "use_tpu", None,
+    "Accepted for reference-CLI compatibility (main.py:62-63); device "
+    "selection is automatic under JAX.")
 
 
 def _get_run_config(iterations_per_loop=100, save_checkpoints_steps=5000,
