@@ -40,20 +40,28 @@ def main():
         return gan.generator(z_in, y=y, is_training=False)
 
     _, params, state = core.init(g_fwd, jax.random.PRNGKey(0), z, labels)
+    # Pass all weights as arguments: closures would bake ~100 MB of
+    # constants into the HLO.
+    params, state, inception = jax.device_put((params, state, inception))
 
     @jax.jit
-    def sample_and_extract(key):
+    def sample_and_extract(params_, state_, inception_, key):
         z_i = jax.random.uniform(key, (BATCH, 120), minval=-1.0, maxval=1.0)
-        images, _ = core.apply(g_fwd, params, state, z_i, labels)
-        pool, logits = inception_net._feature_jit(inception, images * 255.0)
+        images, _ = core.apply(g_fwd, params_, state_, z_i, labels)
+        pool, logits = inception_net.inception_features(
+            inception_,
+            (jax.image.resize(images, (BATCH, 299, 299, 3), "bilinear")
+             * 2.0 - 1.0).astype(jnp.float32))
         return pool.sum(), logits.sum()
 
-    s, _ = sample_and_extract(jax.random.PRNGKey(0))
+    s, _ = sample_and_extract(params, state, inception,
+                              jax.random.PRNGKey(0))
     float(s)  # Materialize (block_until_ready can return early on axon).
 
     t0 = time.perf_counter()
     for i in range(BATCHES):
-        s, _ = sample_and_extract(jax.random.PRNGKey(i))
+        s, _ = sample_and_extract(params, state, inception,
+                                  jax.random.PRNGKey(i))
     float(s)
     dt = time.perf_counter() - t0
 

@@ -79,24 +79,31 @@ def _update_bn_accumulators(gan, ts, batch_size, num_accu_examples):
     for k in switch_keys:
         state[k] = jnp.ones_like(state[k])
     num_batches = num_accu_examples // batch_size
-    params = gan._inference_params(ts)
     base_key = jax.random.PRNGKey(42)
 
-    def body(carry_state, i):
-        with random.rng_context(jax.random.fold_in(base_key, i)):
-            z = z_generator([batch_size, gan.z_dim], name="z")
-            labels = (random.randint([batch_size], 0,
-                                     gan.dataset.num_classes, name="labels")
-                      if gan.conditional else None)
+    @jax.jit
+    def fill(params_, state_):
+        # Weights enter as jit arguments (closure constants would embed
+        # hundreds of MB into the HLO program).
+        def body(carry_state, i):
+            with random.rng_context(jax.random.fold_in(base_key, i)):
+                z = z_generator([batch_size, gan.z_dim], name="z")
+                labels = (random.randint(
+                    [batch_size], 0, gan.dataset.num_classes, name="labels")
+                    if gan.conditional else None)
 
-        def fwd():
-            y = gan._get_one_hot_labels(labels) if gan.conditional else None
-            return gan.generator(z, y=y, is_training=False)
+            def fwd():
+                y = (gan._get_one_hot_labels(labels)
+                     if gan.conditional else None)
+                return gan.generator(z, y=y, is_training=False)
 
-        _, new_state = core.apply(fwd, params, carry_state)
-        return new_state, ()
+            _, new_state = core.apply(fwd, params_, carry_state)
+            return new_state, ()
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(num_batches))
+        out_state, _ = jax.lax.scan(body, state_, jnp.arange(num_batches))
+        return out_state
+
+    state = fill(gan._inference_params(ts), state)
     for k in switch_keys:
         state[k] = jnp.zeros_like(state[k])
     return state, True
