@@ -94,10 +94,28 @@ def compile_train_loop(gan, ts, mesh: Mesh, batch_size: int,
     return jitted, shard_batch, ts
 
 
-def compile_train_step(gan, ts, mesh: Mesh, batch_size: int):
-    """Single-step variant (tests, debugging)."""
+def compile_train_step(gan, ts, mesh: Mesh, batch_size: int,
+                       spatial: bool = False):
+    """Single-step variant (tests, debugging).
+
+    spatial=True additionally shards the image height over a `model` mesh
+    axis (make_mesh(extra_axes=(("model", k),))): XLA spatially partitions
+    the convolutions with halo exchanges — the scale-out extension for
+    512px models the reference lacks (SURVEY.md §2.7)."""
     step = gan.make_train_step(batch_size)
     ts = shard_train_state(ts, mesh)
     jitted = jax.jit(step, donate_argnums=(0,))
-    shard_batch = make_batch_sharder(mesh, leading_stack=False)
+    if spatial:
+        if "model" not in mesh.axis_names:
+            raise ValueError("spatial=True needs a 'model' mesh axis.")
+        sharding = NamedSharding(mesh, P("data", "model"))
+
+        def shard_batch(batch):
+            return {
+                "images": jax.device_put(batch["images"], sharding),
+                "labels": jax.device_put(
+                    batch["labels"], NamedSharding(mesh, P("data"))),
+            }
+    else:
+        shard_batch = make_batch_sharder(mesh, leading_stack=False)
     return jitted, shard_batch, ts
