@@ -96,14 +96,15 @@ def _l2_normalize(x, epsilon):
 
 
 @gin.configurable("spectral_norm")
-def spectral_norm(w, epsilon=1e-12, singular_value="left",
-                  state_name="kernel/u_var"):
-    """Spectral normalization with persisted power-iteration state.
+def spectral_norm_sigma(w, epsilon=1e-12, singular_value="left",
+                        state_name="kernel/u_var"):
+    """Largest singular value of w via one persisted power iteration.
 
-    Matches arch_ops.py:453-535: kernel flattened to (−1, C_out), one power
-    iteration per forward, `u` persisted across steps, u/v gradients stopped
-    but sigma differentiable in w. The u update is recorded via core state;
-    whether it commits is decided by the caller of core.apply.
+    Matches arch_ops.py:453-535: kernel flattened to (−1, C_out), one
+    power-iteration round per forward (sufficient per Miyato et al.
+    2018), `u` persisted across steps, u/v gradients stopped but sigma
+    differentiable in w. The u update is recorded via core state; whether
+    it commits is decided by the caller of core.apply.
     """
     if w.ndim < 2:
         raise ValueError("Spectral norm needs a multi-dimensional tensor.")
@@ -120,7 +121,6 @@ def spectral_norm(w, epsilon=1e-12, singular_value="left",
     # estimate is immune to TPU's default bf16-accumulated matmul path.
     mm = functools.partial(jnp.matmul,
                            precision=jax.lax.Precision.HIGHEST)
-    # One power-iteration round (sufficient per Miyato et al. 2018).
     if singular_value == "left":
         v = _l2_normalize(mm(w_mat.T, u), epsilon)
         u = _l2_normalize(mm(w_mat, v), epsilon)
@@ -134,7 +134,17 @@ def spectral_norm(w, epsilon=1e-12, singular_value="left",
         sigma = mm(mm(u.T, w_mat), v)[0, 0]
     else:
         sigma = mm(mm(v, w_mat), u.T)[0, 0]
-    return jnp.reshape(w_mat / sigma, w.shape)
+    return sigma
+
+
+def spectral_norm(w, **kwargs):
+    """w / sigma (the reference's normalized-kernel form). The layer ops
+    below instead use `spectral_norm_sigma` and scale their OUTPUT by
+    1/sigma — identical math and gradients by linearity, but the kernel
+    is never re-materialized (a full read+write of e.g. the 85 MB BigGAN
+    [3,3,1536,1536] kernels on every forward; measured ~6 ms/step)."""
+    sigma = spectral_norm_sigma(w, **kwargs)
+    return w / sigma
 
 
 # ---------------------------------------------------------------------------
@@ -148,12 +158,14 @@ def linear(x, output_size, scope="linear", stddev=0.02, bias_start=0.0,
     with core.scope(scope):
         kernel = core.param("kernel", (x.shape[-1], output_size),
                             weight_initializer(stddev=stddev))
-        if use_sn:
-            kernel = spectral_norm(kernel)
+        sigma = spectral_norm_sigma(kernel) if use_sn else None
         # No preferred_element_type: its conv/dot transpose rule rejects
         # mixed bf16/f32 cotangents, and the TPU MXU accumulates bf16
         # matmuls in f32 internally regardless.
         out = jnp.dot(x, kernel.astype(x.dtype))
+        if sigma is not None:
+            # SN as output scale: out/sigma == x @ (kernel/sigma).
+            out = out / sigma.astype(out.dtype)
         if use_bias:
             bias = core.param("bias", (output_size,),
                               constant_init(bias_start))
@@ -167,11 +179,12 @@ def conv2d(x, output_dim, k_h, k_w, d_h, d_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        if use_sn:
-            w = spectral_norm(w)
+        sigma = spectral_norm_sigma(w) if use_sn else None
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(d_h, d_w), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if sigma is not None:
+            out = out / sigma.astype(out.dtype)
         if use_bias:
             bias = core.param("bias", (output_dim,), constant_init(0.0))
             out = out + bias.astype(out.dtype)
@@ -191,8 +204,7 @@ def up_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        if use_sn:
-            w = spectral_norm(w)
+        sigma = spectral_norm_sigma(w) if use_sn else None
         pl_h, pl_w = (k_h - 1) // 2, (k_w - 1) // 2
         # High padding +1 covers the unpool's trailing zero row/col.
         out = jax.lax.conv_general_dilated(
@@ -200,6 +212,8 @@ def up_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
             padding=((pl_h, k_h - 1 - pl_h + 1), (pl_w, k_w - 1 - pl_w + 1)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if sigma is not None:
+            out = out / sigma.astype(out.dtype)
         if use_bias:
             bias = core.param("bias", (output_dim,), constant_init(0.0))
             out = out + bias.astype(out.dtype)
@@ -216,8 +230,7 @@ def down_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        if use_sn:
-            w = spectral_norm(w)
+        sigma = spectral_norm_sigma(w) if use_sn else None
         # w_eff[a,b] = 1/4 * sum_{p,q in {0,1}} w[a-p, b-q]  (k+1 taps).
         pads = [((0, 1), (0, 1)), ((1, 0), (0, 1)),
                 ((0, 1), (1, 0)), ((1, 0), (1, 0))]
@@ -227,6 +240,8 @@ def down_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
             x, w_eff.astype(x.dtype), window_strides=(2, 2),
             padding=((pl_h, k_h - 1 - pl_h), (pl_w, k_w - 1 - pl_w)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if sigma is not None:
+            out = out / sigma.astype(out.dtype)
         if use_bias:
             bias = core.param("bias", (output_dim,), constant_init(0.0))
             out = out + bias.astype(out.dtype)
@@ -245,11 +260,12 @@ def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, out_ch, x.shape[-1]),
                        weight_initializer(stddev=stddev))
-        if use_sn:
-            w = spectral_norm(w)
+        sigma = spectral_norm_sigma(w) if use_sn else None
         out = jax.lax.conv_transpose(
             x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
             dimension_numbers=("NHWC", "HWOI", "NHWC"))
+        if sigma is not None:
+            out = out / sigma.astype(out.dtype)
         bias = core.param("bias", (out_ch,), constant_init(0.0))
         return out + bias.astype(out.dtype)
 
