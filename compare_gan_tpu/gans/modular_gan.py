@@ -448,6 +448,12 @@ class ModularGAN(AbstractGAN):
                     params, state, ts.g_opt, ts.ema_params,
                     images_s[-1], labels_s[-1], sub_keys[-1], ts.step, g_tx))
             metrics["loss/g"] = losses["g_loss"]
+            # Subclass extras (SSGAN rotation CE/accuracy, S3GAN class
+            # loss, ... — reference logs these via TpuSummaries,
+            # ssgan.py:222-225, s3gan.py:302-321).
+            for k, v in losses.items():
+                if k not in ("d_loss", "g_loss", "penalty_loss"):
+                    metrics[f"loss/{k}"] = v
 
             new_ts = TrainState(
                 params=params, state=state, ema_params=ema_params,
