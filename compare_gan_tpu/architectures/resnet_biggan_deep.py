@@ -75,9 +75,15 @@ class BigGanDeepResNetBlock:
             with core.scope("conv2"):
                 outputs = bn(outputs, name="bn")
                 outputs = jax.nn.relu(outputs)
-                if self._scale == "up":
-                    outputs = resnet_ops.unpool(outputs)
-                outputs = conv3x3(outputs, bottleneck, name="3x3_conv")
+                if self._scale == "up" and resnet_ops.fusion_options():
+                    # Fused zero-unpool + conv (exact; see arch_ops).
+                    outputs = ops.up_conv2d(
+                        outputs, bottleneck, 3, 3, name="3x3_conv",
+                        use_sn=self._spectral_norm)
+                else:
+                    if self._scale == "up":
+                        outputs = resnet_ops.unpool(outputs)
+                    outputs = conv3x3(outputs, bottleneck, name="3x3_conv")
             with core.scope("conv3"):
                 outputs = bn(outputs, name="bn")
                 outputs = jax.nn.relu(outputs)
@@ -85,10 +91,18 @@ class BigGanDeepResNetBlock:
             with core.scope("conv4"):
                 outputs = bn(outputs, name="bn")
                 outputs = jax.nn.relu(outputs)
-                if self._scale == "down":
-                    outputs = resnet_ops.avg_pool_2x2(outputs)
-                outputs = conv1x1(outputs, self._out_channels,
-                                  name="1x1_conv")
+                if self._scale == "down" and resnet_ops.fusion_options():
+                    # pool∘1x1conv == 1x1conv∘pool (both linear): fuse to
+                    # one stride-2 conv (down_conv2d computes conv-then-
+                    # pool, identical for 1x1 kernels).
+                    outputs = ops.down_conv2d(
+                        outputs, self._out_channels, 1, 1, name="1x1_conv",
+                        use_sn=self._spectral_norm)
+                else:
+                    if self._scale == "down":
+                        outputs = resnet_ops.avg_pool_2x2(outputs)
+                    outputs = conv1x1(outputs, self._out_channels,
+                                      name="1x1_conv")
             return outputs + self._shortcut(inputs)
 
 

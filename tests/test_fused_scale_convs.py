@@ -103,6 +103,31 @@ def test_spectral_norm_state_matches():
                                    np.asarray(state_n[key]), rtol=1e-6)
 
 
+def test_biggan_deep_block_fusion_exact():
+    """Deep bottleneck block: fused == unfused (same params) for both
+    up and down scaling."""
+    from compare_gan_tpu.architectures import resnet_biggan_deep
+
+    for scale, h in [("up", 8), ("down", 8)]:
+        in_ch, out_ch = (8, 4) if scale == "up" else (4, 8)
+
+        def build(xx):
+            block = resnet_biggan_deep.BigGanDeepResNetBlock(
+                name="B1", in_channels=in_ch, out_channels=out_ch,
+                scale=scale, batch_norm=lambda v, **kw: v)
+            return block(xx, z=None, y=None, is_training=True)
+
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(2, h, h, in_ch), jnp.float32)
+        gin.clear_config()
+        out_fused, params, _ = _run(build, x)
+        gin.parse_config("resnet_ops.fused_scale_convs = False")
+        out_naive, _ = _apply_with(build, params, {}, x)
+        gin.clear_config()
+        np.testing.assert_allclose(out_fused, out_naive, rtol=1e-5,
+                                   atol=1e-5), scale
+
+
 def test_resnet_block_uses_fused_and_can_disable():
     """Block outputs identical with fusion on/off (same params)."""
     def build(xx):
