@@ -73,8 +73,13 @@ class Generator(abstract_arch.AbstractGenerator):
 
     def __init__(self, ch=96, blocks_with_attention="B4", hierarchical_z=True,
                  embed_z=False, embed_y=True, embed_y_dim=128,
-                 embed_bias=False, **kwargs):
+                 embed_bias=False, experimental_fast_conv_to_rgb=False,
+                 **kwargs):
         super().__init__(**kwargs)
+        # Pad the RGB conv to 128 output lanes and slice (the deep
+        # variant's option, resnet_biggan_deep.py:297-302): 3 output
+        # channels waste >97% of MXU lanes at full resolution.
+        self._experimental_fast_conv_to_rgb = experimental_fast_conv_to_rgb
         self._ch = ch
         self._blocks_with_attention = set(blocks_with_attention.split(","))
         self._hierarchical_z = hierarchical_z
@@ -147,9 +152,15 @@ class Generator(abstract_arch.AbstractGenerator):
                                           use_sn=self._spectral_norm)
         net = ops.batch_norm(net, is_training=is_training, name="final_norm")
         net = jax.nn.relu(net)
-        net = ops.conv2d(net, output_dim=self._image_shape[2], k_h=3, k_w=3,
-                         d_h=1, d_w=1, name="final_conv",
-                         use_sn=self._spectral_norm)
+        if self._experimental_fast_conv_to_rgb:
+            net = ops.conv2d(net, output_dim=128, k_h=3, k_w=3,
+                             d_h=1, d_w=1, name="final_conv",
+                             use_sn=self._spectral_norm)
+            net = net[:, :, :, :self._image_shape[2]]
+        else:
+            net = ops.conv2d(net, output_dim=self._image_shape[2],
+                             k_h=3, k_w=3, d_h=1, d_w=1, name="final_conv",
+                             use_sn=self._spectral_norm)
         return (jnp.tanh(net) + 1.0) / 2.0
 
 
