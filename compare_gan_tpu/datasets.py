@@ -465,11 +465,14 @@ def _prefetch(it, depth):
         return it
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    error: list = []
 
     def worker():
         try:
             for item in it:
                 q.put(item)
+        except BaseException as e:  # Surface in the consumer, not silence.
+            error.append(e)
         finally:
             q.put(done)
 
@@ -480,6 +483,8 @@ def _prefetch(it, depth):
         while True:
             item = q.get()
             if item is done:
+                if error:
+                    raise error[0]
                 return
             yield item
 
