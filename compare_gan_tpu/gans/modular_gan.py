@@ -216,6 +216,21 @@ class ModularGAN(AbstractGAN):
 
     # -- loss --------------------------------------------------------------
 
+    def _penalty_loss(self, images, generated, y, is_training):
+        """λ-weighted penalty term (modular_gan.py:664-670). The penalty's
+        D forwards never commit state (SURVEY.md §7)."""
+
+        def d_logits_fn(xx):
+            with core.no_state_updates():
+                return self.discriminator(xx, y=y,
+                                          is_training=is_training)[1]
+
+        return penalty_lib.get_penalty_loss(
+            x=images, x_fake=generated, y=y, is_training=is_training,
+            d_logits_fn=d_logits_fn,
+            d_params=self.discriminator.trainable_variables(
+                dict(core._ctx().params)))
+
     def create_loss(self, features, labels, is_training=True):
         """D and G losses + λ·penalty (modular_gan.py:618-670). Runs inside
         a core context; returns a dict of scalars."""
@@ -244,16 +259,7 @@ class ModularGAN(AbstractGAN):
             d_real=d_real, d_fake=d_fake, d_real_logits=d_real_logits,
             d_fake_logits=d_fake_logits)
 
-        def d_logits_fn(xx):
-            with core.no_state_updates():
-                return self.discriminator(xx, y=y,
-                                          is_training=is_training)[1]
-
-        penalty_loss = penalty_lib.get_penalty_loss(
-            x=images, x_fake=generated, y=y, is_training=is_training,
-            d_logits_fn=d_logits_fn,
-            d_params=self.discriminator.trainable_variables(
-                dict(core._ctx().params)))
+        penalty_loss = self._penalty_loss(images, generated, y, is_training)
         d_loss = d_loss + self._lambda * penalty_loss
         return {"d_loss": d_loss, "g_loss": g_loss,
                 "penalty_loss": penalty_loss}

@@ -18,7 +18,7 @@ import numpy as np
 from compare_gan_tpu import config as gin
 from compare_gan_tpu import core
 from compare_gan_tpu import utils
-from compare_gan_tpu.gans import loss_lib, penalty_lib
+from compare_gan_tpu.gans import loss_lib
 from compare_gan_tpu.gans import modular_gan
 from compare_gan_tpu.ops import arch_ops as ops
 
@@ -106,16 +106,7 @@ class SSGAN(modular_gan.ModularGAN):
             d_real_logits=d_real_logits[:bs],
             d_fake_logits=d_fake_logits[:bs])
 
-        def d_logits_fn(xx):
-            with core.no_state_updates():
-                return self.discriminator(xx, y=y,
-                                          is_training=is_training)[1]
-
-        penalty_loss = penalty_lib.get_penalty_loss(
-            x=images, x_fake=generated, y=y, is_training=is_training,
-            d_logits_fn=d_logits_fn,
-            d_params=self.discriminator.trainable_variables(
-                dict(core._ctx().params)))
+        penalty_loss = self._penalty_loss(images, generated, y, is_training)
         d_loss = d_loss + self._lambda * penalty_loss
 
         if "rotation" in self._self_supervision:
