@@ -40,9 +40,10 @@ import numpy as np
 from compare_gan_tpu import config as gin
 
 # Process-level options (reference: absl flags, datasets.py:46-63).
+# No shuffle-buffer knob: shuffling is a full per-epoch permutation
+# (deterministic, stronger than the reference's windowed buffer).
 FAKE_DATASET = False  # --data_fake_dataset
 DATA_DIR = os.environ.get("COMPARE_GAN_DATA_DIR", "/tmp/compare_gan_data")
-SHUFFLE_BUFFER_SIZE = 10000
 
 
 def set_fake_dataset(value: bool) -> None:
@@ -610,6 +611,15 @@ def _soft_labels(base_ctor, name):
                                     "train.npy")
                 if os.path.exists(path):
                     cache["arr"] = np.load(path, mmap_mode="r")
+                    # Consistency check (reference asserts sidecar/record
+                    # filename alignment, datasets.py:174-223): the
+                    # sidecar must cover every training example.
+                    n = ds._get_source().num_examples("train")
+                    if len(cache["arr"]) < n:
+                        raise ValueError(
+                            f"Soft-label sidecar {path} has "
+                            f"{len(cache['arr'])} rows < {n} train "
+                            f"examples.")
                 else:
                     cache["arr"] = None
             if cache["arr"] is None:
