@@ -372,27 +372,65 @@ class ImageDatasetV2:
             epoch += 1
 
     def _iter_examples(self, split, shuffle, repeat, transform, seed,
-                       skip_examples=0):
+                       skip_examples=0, num_parallel_calls=8):
         """Per-example transform RNG is keyed by the example's stream
         position (not a shared sequential generator), so a resumed run can
         fast-forward `skip_examples` WITHOUT decoding and still produce
-        the byte-identical stream an unbroken run would see."""
+        the byte-identical stream an unbroken run would see.
+
+        Decode + transform run on an ordered thread pool (the reference's
+        tf.data num_parallel_calls; PIL/TF decode release the GIL), with a
+        bounded in-flight window so infinite streams don't accumulate."""
         src = self._get_source()
-        position = -1
-        for idx in self._iter_indices(split, shuffle, repeat, seed):
-            position += 1
-            if position < skip_examples:
-                continue
+
+        def load(args):
+            position, idx = args
             rng = np.random.Generator(np.random.Philox(
                 key=(seed + 131) % 2**63, counter=position))
             image, label = src.get(split, idx, self._seed)
             if self._filter_fn is not None and not self._filter_fn(
                     image, label):
-                continue
+                return None
             image, label = transform(image, label, seed, rng)
             if self._label_map_fn is not None:
                 label = self._label_map_fn(label, idx, rng)
-            yield image, label
+            return image, label
+
+        def positions():
+            position = -1
+            for idx in self._iter_indices(split, shuffle, repeat, seed):
+                position += 1
+                if position < skip_examples:
+                    continue
+                yield position, idx
+
+        if num_parallel_calls <= 1:
+            for args in positions():
+                item = load(args)
+                if item is not None:
+                    yield item
+            return
+
+        import collections
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=num_parallel_calls) as pool:
+            window: collections.deque = collections.deque()
+            source = positions()
+            try:
+                for args in source:
+                    window.append(pool.submit(load, args))
+                    if len(window) < 2 * num_parallel_calls:
+                        continue
+                    item = window.popleft().result()
+                    if item is not None:
+                        yield item
+            finally:
+                pass
+            while window:
+                item = window.popleft().result()
+                if item is not None:
+                    yield item
 
     def _batch(self, it, batch_size):
         images, labels = [], []
