@@ -205,6 +205,15 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     rng = jax.random.PRNGKey(seed)
     ts = gan.init_state(rng, batch_size)
 
+    # Parameter overview tables (reference modular_gan.py:593-596,
+    # utils.py:99-175).
+    from absl import logging
+    logging.info("Generator variables:\n%s", utils.get_parameter_overview(
+        gan.generator.trainable_variables(ts.params)))
+    logging.info("Discriminator variables:\n%s",
+                 utils.get_parameter_overview(
+                     gan.discriminator.trainable_variables(ts.params)))
+
     if latest:
         ts = ckpt_lib.restore_checkpoint(latest, ts)
     start_step = int(ts.step)
