@@ -1,0 +1,61 @@
+"""evaluate_tfhub_module from an export dir + conditional export loaders
+(the reference's hub-module eval surface, eval_gan_lib.py:95)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from compare_gan_tpu import datasets, eval_gan_lib, eval_utils, export
+from compare_gan_tpu.gans.modular_gan import ModularGAN
+from compare_gan_tpu.metrics import fid_score, inception_score
+
+
+@pytest.fixture(autouse=True)
+def _setup():
+    datasets.set_fake_dataset(True)
+
+    def fake_inception(images):
+        flat = images.reshape(len(images), -1).astype(np.float64) / 255.0
+        r = np.random.RandomState(0)
+        return flat @ r.randn(flat.shape[1], 8), flat @ r.randn(
+            flat.shape[1], 10)
+
+    eval_utils.set_inception_fn(fake_inception)
+    yield
+    datasets.set_fake_dataset(False)
+    eval_utils.set_inception_fn(None)
+
+
+def _export(tmp_path, conditional=False):
+    ds = datasets.get_dataset("cifar10")
+    gan = ModularGAN(dataset=ds, model_dir=str(tmp_path),
+                     parameters={"architecture": "dummy_arch", "z_dim": 8,
+                                 "lambda": 1}, conditional=conditional)
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    d = str(tmp_path / "tfhub" / "1")
+    export.export_module(gan, ts, d)
+    return d
+
+
+def test_evaluate_export_dir(tmp_path):
+    d = _export(tmp_path)
+    out = eval_gan_lib.evaluate_tfhub_module(
+        d, [inception_score.InceptionScoreTask(),
+            fid_score.FIDScoreTask()], batch_size=16,
+        num_averaging_runs=1)
+    assert "fid_score_mean" in out and "inception_score_mean" in out
+
+
+def test_conditional_export_loaders(tmp_path):
+    d = _export(tmp_path, conditional=True)
+    generate, spec = export.load_generator(d)
+    assert spec["conditional"]
+    with pytest.raises(ValueError):
+        generate(np.zeros((2, 8), np.float32))  # labels required
+    imgs = generate(np.zeros((2, 8), np.float32),
+                    labels=np.array([1, 2]))
+    assert imgs.shape == (2, 32, 32, 3)
+    discriminate, _ = export.load_discriminator(d)
+    pred, logits, _ = discriminate(imgs, labels=np.array([1, 2]))
+    assert logits.shape == (2, 1)
