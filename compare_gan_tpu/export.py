@@ -88,6 +88,43 @@ def load_generator(export_dir: str) -> Tuple[Callable, dict]:
     return generate, spec
 
 
+def export_saved_model(gan, ts, export_dir: str,
+                       batch_sizes=(8, 16, 32, 64)) -> str:
+    """TF SavedModel export via jax2tf — the serving-compatible analog of
+    the reference's TF-Hub modules with their {bs8..bs64} signatures
+    (modular_gan.py:289-306). Needs host TensorFlow; the generator runs
+    as converted XLA inside TF."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    params = gan._inference_params(ts)
+    state = dict(ts.state)
+
+    def generate(z, labels):
+        def fwd():
+            y = (gan._get_one_hot_labels(labels)
+                 if gan.conditional else None)
+            return gan.generator(z, y=y, is_training=False)
+
+        images, _ = core.apply(fwd, params, state)
+        return images
+
+    module = tf.Module()
+    signatures = {}
+    for bs in batch_sizes:
+        tf_fn = tf.function(
+            jax2tf.convert(generate, with_gradient=False),
+            autograph=False,
+            input_signature=[
+                tf.TensorSpec([bs, gan.z_dim], tf.float32, name="z"),
+                tf.TensorSpec([bs], tf.int32, name="labels"),
+            ])
+        setattr(module, f"generate_bs{bs}", tf_fn)
+        signatures[f"gen_bs{bs}"] = tf_fn.get_concrete_function()
+    tf.saved_model.save(module, export_dir, signatures=signatures)
+    return export_dir
+
+
 def load_discriminator(export_dir: str) -> Tuple[Callable, dict]:
     """Returns (discriminate(images, labels=None) -> (pred, logits,
     features), spec). The 'disc' hub tag."""
