@@ -1,0 +1,46 @@
+"""SummaryWriter behavior: cadence, scalars, image grids, JSONL fallback
+(reference TpuSummaries surface, tpu_summaries.py:57-113)."""
+
+import json
+import os
+
+import numpy as np
+
+from compare_gan_tpu import summaries as summaries_lib
+
+
+def test_cadence(tmp_path):
+    w = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=250)
+    assert w.should_write(0)
+    assert not w.should_write(100)
+    assert w.should_write(250)
+    assert w.should_write(500)
+    w.close()
+
+
+def test_scalars_and_images_tf_backend(tmp_path):
+    w = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=1)
+    w.scalars({"loss/g": 1.25, "loss/d_0": np.float32(0.5)}, step=10)
+    w.image_grid("fake_images", np.random.rand(4, 8, 8, 3), step=10)
+    w.close()
+    events = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert events, os.listdir(tmp_path)
+
+
+def test_jsonl_fallback(tmp_path, monkeypatch):
+    """Without TF the writer degrades to JSONL with the same keys."""
+    w = summaries_lib.SummaryWriter.__new__(summaries_lib.SummaryWriter)
+    w._model_dir = str(tmp_path)
+    w._every = 1
+    w._tf = None
+    w._tf_writer = None
+    w._jsonl = open(os.path.join(str(tmp_path), "summaries.jsonl"), "a")
+    w.scalar("loss/g", 2.5, step=3)
+    w.image_grid("fake_images", np.random.rand(2, 4, 4, 1), step=3)
+    w.close()
+    rows = [json.loads(line)
+            for line in open(os.path.join(str(tmp_path),
+                                          "summaries.jsonl"))]
+    assert rows[0] == {k: rows[0][k] for k in rows[0]}
+    assert rows[0]["tag"] == "loss/g" and rows[0]["value"] == 2.5
+    assert rows[1]["tag"] == "fake_images"
