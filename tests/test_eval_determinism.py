@@ -16,12 +16,7 @@ from compare_gan_tpu.metrics import fid_score, inception_score
 def _setup():
     datasets.set_fake_dataset(True)
 
-    def fake_inception(images):
-        flat = images.reshape(len(images), -1).astype(np.float64) / 255.0
-        r = np.random.RandomState(0)
-        return flat @ r.randn(flat.shape[1], 8), flat @ r.randn(
-            flat.shape[1], 10)
-
+    from tests.helpers import fake_inception
     eval_utils.set_inception_fn(fake_inception)
     yield
     datasets.set_fake_dataset(False)

@@ -21,14 +21,7 @@ def _fake_data():
     eval_utils.set_inception_fn(None)
 
 
-def _fake_inception(images):
-    """Tiny deterministic feature extractor (reference mocks Inception
-    with a small matmul graph, test_utils.py:87-107)."""
-    flat = images.reshape(len(images), -1).astype(np.float64) / 255.0
-    rng = np.random.RandomState(0)
-    w_pool = rng.randn(flat.shape[1], 16)
-    w_logits = rng.randn(flat.shape[1], 10)
-    return flat @ w_pool, flat @ w_logits
+from tests.helpers import fake_inception as _fake_inception
 
 
 def _options(training_steps=4):
