@@ -58,6 +58,26 @@ def test_down_conv_matches_conv_avgpool(k, h):
     np.testing.assert_allclose(out_f, out_n, rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_fused_convs():
+    """Fused paths accept bf16 activations (the compute_dtype path) and
+    stay close to the f32 reference."""
+    x32 = np.random.RandomState(7).randn(2, 8, 8, 3).astype(np.float32)
+
+    def fused_up(xx):
+        return ops.up_conv2d(xx, 4, 3, 3, name="c")
+
+    def fused_down(xx):
+        return ops.down_conv2d(xx, 4, 3, 3, name="c")
+
+    for fn in (fused_up, fused_down):
+        out32, params, _ = _run(fn, jnp.asarray(x32))
+        out16, _ = _apply_with(fn, params, {},
+                               jnp.asarray(x32, jnp.bfloat16))
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out16, np.float32), out32,
+                                   rtol=0.05, atol=0.05)
+
+
 def test_gradients_match():
     x = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 3), jnp.float32)
 
