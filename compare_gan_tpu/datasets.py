@@ -72,10 +72,15 @@ class FakeSource:
         return self._num_examples
 
     def get(self, split, index, seed):
-        rng = np.random.Generator(np.random.Philox(
-            key=abs(hash((split, seed))) % (2**63), counter=index))
+        # Stable key: Python's str hash is salted per process
+        # (PYTHONHASHSEED), which would break the bitwise-identical-
+        # across-restarts contract for fake-data runs.
+        import hashlib
+        key = int.from_bytes(
+            hashlib.sha256(f"{split}/{seed}".encode()).digest()[:8], "little")
+        rng = np.random.Generator(np.random.Philox(key=key, counter=index))
         image = rng.random(self._shape, dtype=np.float32)
-        label = int(rng.integers(0, max(self._num_classes, 1)))
+        label = int(rng.integers(0, self._num_classes or 1))
         return image, label
 
 
@@ -158,15 +163,19 @@ class TFRecordSource:
         return len(self._index[split])
 
     def get(self, split, index, seed):
-        import struct
         import tensorflow as tf
+        from compare_gan_tpu import native
         self._ensure_index(split)
         path, pos = self._index[split][index]
-        with open(path, "rb") as f:
-            f.seek(pos)
-            (length,) = struct.unpack("<Q", f.read(8))
-            f.seek(4, os.SEEK_CUR)  # crc of length
-            payload = f.read(length)
+        if native.available():
+            payload = native.read_record(path, pos)
+        else:
+            import struct
+            with open(path, "rb") as f:
+                f.seek(pos)
+                (length,) = struct.unpack("<Q", f.read(8))
+                f.seek(4, os.SEEK_CUR)  # crc of length
+                payload = f.read(length)
         ex = tf.train.Example.FromString(payload)
         feats = ex.features.feature
         if "image" in feats and feats["image"].bytes_list.value:
@@ -213,63 +222,174 @@ def _resize_area(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return out
 
 
+def _resize_bilinear_np(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """TF1 `tf.image.resize_images` default bilinear on host: legacy scaling
+    src = dst_idx * (in/out), align_corners=False (reference
+    datasets.py:474-476). Pure-NumPy fallback for the native kernel."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    oh, ow = size
+    fy = np.arange(oh, dtype=np.float32) * (np.float32(h) / np.float32(oh))
+    fx = np.arange(ow, dtype=np.float32) * (np.float32(w) / np.float32(ow))
+    y0 = np.minimum(fy.astype(np.int64), h - 1)
+    x0 = np.minimum(fx.astype(np.int64), w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0).astype(np.float32)[:, None, None]
+    wx = (fx - x0).astype(np.float32)[None, :, None]
+    top = img[y0][:, x0] + (img[y0][:, x1] - img[y0][:, x0]) * wx
+    bot = img[y1][:, x0] + (img[y1][:, x1] - img[y1][:, x0]) * wx
+    return top + (bot - top) * wy
+
+
+@gin.configurable("image_resize")
+def _resize(image, size, method="bilinear"):
+    """Post-crop resize. The reference's `tf.image.resize_images` default is
+    bilinear (datasets.py:474-476), so that's the default here; bind
+    `image_resize.method = "area"` to opt into the box-filter path (better
+    antialiasing for large downscales, but diverges from reference pixels)."""
+    if image.shape[0] == size[0] and image.shape[1] == size[1]:
+        return np.asarray(image, np.float32)
+    if method == "bilinear":
+        from compare_gan_tpu import native
+        if native.available():
+            return native.resize_bilinear(np.asarray(image, np.float32), size)
+        return _resize_bilinear_np(image, size)
+    if method == "area":
+        return _resize_area(image, size)
+    raise ValueError(f"Unsupported resize method: {method}")
+
+
+def _crop_or_pad(image: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """tf.image.resize_image_with_crop_or_pad (reference
+    datasets.py:390-392,472-475): center-crop dimensions that are larger
+    than the target, zero-pad (centered, extra row/col at bottom/right)
+    dimensions that are smaller."""
+    h, w = image.shape[:2]
+    top, left = max(0, (h - th) // 2), max(0, (w - tw) // 2)
+    image = image[top:top + th, left:left + tw]
+    h, w = image.shape[:2]
+    if h < th or w < tw:
+        pt, pl = (th - h) // 2, (tw - w) // 2
+        image = np.pad(image, ((pt, th - h - pt), (pl, tw - w - pl), (0, 0)))
+    return image
+
+
 def transform_none(image, label, seed, rng):
     return image, label
 
 
 def transform_celeba(image, label, seed, rng, size=64):
-    """160px center crop then resize (reference datasets.py:387-396)."""
-    h, w = image.shape[:2]
-    if h > 160 and w > 160:
-        top, left = (h - 160) // 2, (w - 160) // 2
-        image = image[top:top + 160, left:left + 160]
-    return _resize_area(image, (size, size)), label
+    """crop-or-pad to 160x160 then bilinear resize; constant label 0
+    (reference CelebaDataset._parse_fn, datasets.py:387-396)."""
+    image = _crop_or_pad(image, 160, 160)
+    return _resize(image, (size, size)), 0
+
+
+def transform_crop_or_pad(image, label, seed, rng, size):
+    """Center crop-or-pad, no resize; constant label 0 (reference
+    LsunBedroomDataset._parse_fn, datasets.py:420-427)."""
+    return _crop_or_pad(image, size, size), 0
 
 
 def transform_resize(image, label, seed, rng, size):
-    if image.shape[0] != size or image.shape[1] != size:
-        image = _resize_area(image, (size, size))
-    return image, label
+    return _resize(image, (size, size)), label
 
 
 def transform_random_crop(image, label, seed, rng, size):
-    """Random square crop then resize (reference `random_crop`
-    datasets.py:455-468)."""
+    """Random square crop then resize (reference `random` crop method,
+    datasets.py:455-463). Offsets are floor(u*(h-s)) like the reference's
+    `tf.cast([h-size, w-size] * uniform, int32)` — the maximal offset is
+    never drawn (measure-zero in TF)."""
     h, w = image.shape[:2]
     s = min(h, w)
-    top = int(rng.integers(0, h - s + 1))
-    left = int(rng.integers(0, w - s + 1))
-    return _resize_area(image[top:top + s, left:left + s], (size, size)), label
+    u = rng.uniform(size=2)
+    top, left = int((h - s) * u[0]), int((w - s) * u[1])
+    return _resize(image[top:top + s, left:left + s], (size, size)), label
 
 
 def transform_middle_crop(image, label, seed, rng, size):
-    """Center square crop then resize (reference `middle_crop`
-    datasets.py:471-481)."""
+    """Center square crop then resize (reference `middle` crop method,
+    datasets.py:464-470)."""
     h, w = image.shape[:2]
     s = min(h, w)
     top, left = (h - s) // 2, (w - s) // 2
-    return _resize_area(image[top:top + s, left:left + s], (size, size)), label
+    return _resize(image[top:top + s, left:left + s], (size, size)), label
 
 
 def transform_distorted_crop(image, label, seed, rng, size,
-                             area_range=(0.05, 1.0),
-                             aspect_ratio_range=(3 / 4, 4 / 3)):
-    """Inception-style distorted bounding-box crop (reference
-    `train_imagenet_transform` datasets.py:435-452)."""
+                             area_range=(0.5, 1.0),
+                             aspect_ratio_range=(1.0, 1.0),
+                             max_attempts=100):
+    """`tf.image.sample_distorted_bounding_box` with the reference's
+    parameters (datasets.py:444-452): square crop (aspect_ratio_range
+    [1,1]) covering 50-100% of the image area, uniform offsets. Mirrors the
+    TF kernel's integer height sampling (sample_distorted_bounding_box_op);
+    falls back to the WHOLE image when no valid crop exists after
+    max_attempts (use_image_if_no_bounding_boxes=True semantics)."""
     h, w = image.shape[:2]
-    area = h * w
-    for _ in range(10):
-        target_area = float(rng.uniform(*area_range)) * area
-        ar = float(np.exp(rng.uniform(np.log(aspect_ratio_range[0]),
-                                      np.log(aspect_ratio_range[1]))))
-        cw = int(round(np.sqrt(target_area * ar)))
-        ch = int(round(np.sqrt(target_area / ar)))
-        if cw <= w and ch <= h:
-            top = int(rng.integers(0, h - ch + 1))
-            left = int(rng.integers(0, w - cw + 1))
-            crop = image[top:top + ch, left:left + cw]
-            return _resize_area(crop, (size, size)), label
-    return transform_middle_crop(image, label, seed, rng, size)
+    min_area = area_range[0] * h * w
+    max_area = area_range[1] * h * w
+    for _ in range(max_attempts):
+        aspect = float(rng.uniform(*aspect_ratio_range))
+        ch = int(round(np.sqrt(min_area / aspect)))
+        ch_max = int(round(np.sqrt(max_area / aspect)))
+        if round(ch_max * aspect) > w:
+            ch_max = int((w + 0.5 - 1e-7) / aspect)
+        ch_max = min(ch_max, h)
+        ch = min(ch, ch_max)
+        if ch < ch_max:
+            ch = ch + int(rng.integers(0, ch_max - ch + 1))
+        cw = int(round(ch * aspect))
+        area = ch * cw
+        if area < min_area:
+            ch += 1
+            cw = int(round(ch * aspect))
+            area = ch * cw
+        if area > max_area:
+            ch -= 1
+            cw = int(round(ch * aspect))
+            area = ch * cw
+        if (area < min_area or area > max_area or cw > w or ch > h
+                or cw <= 0 or ch <= 0):
+            continue
+        top = int(rng.integers(0, h - ch + 1))
+        left = int(rng.integers(0, w - cw + 1))
+        crop = image[top:top + ch, left:left + cw]
+        return _resize(crop, (size, size)), label
+    return _resize(image, (size, size)), label
+
+
+def _transform_imagenet_image(image, label, seed, rng, size, crop_method):
+    """Crop-method dispatch (reference `_transform_imagnet_image` [sic],
+    datasets.py:430-476)."""
+    if crop_method == "distorted":
+        return transform_distorted_crop(image, label, seed, rng, size)
+    if crop_method == "random":
+        return transform_random_crop(image, label, seed, rng, size)
+    if crop_method == "middle":
+        return transform_middle_crop(image, label, seed, rng, size)
+    if crop_method == "none":
+        return _resize(image, (size, size)), label
+    raise ValueError(f"Unsupported crop method: {crop_method}")
+
+
+@gin.configurable("train_imagenet_transform")
+def train_imagenet_transform(image, label, seed, rng, size,
+                             crop_method="distorted"):
+    """Gin surface `train_imagenet_transform.crop_method` (reference
+    datasets.py:479-487)."""
+    return _transform_imagenet_image(image, label, seed, rng, size,
+                                     crop_method)
+
+
+@gin.configurable("eval_imagenet_transform")
+def eval_imagenet_transform(image, label, seed, rng, size,
+                            crop_method="middle"):
+    """Gin surface `eval_imagenet_transform.crop_method` (reference
+    datasets.py:489-497)."""
+    return _transform_imagenet_image(image, label, seed, rng, size,
+                                     crop_method)
 
 
 # ---------------------------------------------------------------------------
@@ -290,13 +410,14 @@ class ImageDatasetV2:
                  eval_test_samples, seed, train_transform=None,
                  eval_transform=None, num_hosts: Optional[int] = None,
                  host_id: Optional[int] = None, filter_fn=None,
-                 label_map_fn=None):
+                 label_map_fn=None, eval_split="test"):
         self._name = name
         self._tfds_name = tfds_name
         self._resolution = resolution
         self._colors = colors
         self._num_classes = num_classes
         self._eval_test_samples = eval_test_samples
+        self._eval_split = eval_split
         self._seed = 547 if seed is None else int(seed)
         self._train_transform = train_transform or functools.partial(
             transform_resize, size=resolution)
@@ -372,24 +493,29 @@ class ImageDatasetV2:
             epoch += 1
 
     def _iter_examples(self, split, shuffle, repeat, transform, seed,
-                       skip_examples=0, num_parallel_calls=8):
-        """Per-example transform RNG is keyed by the example's stream
-        position (not a shared sequential generator), so a resumed run can
-        fast-forward `skip_examples` WITHOUT decoding and still produce
-        the byte-identical stream an unbroken run would see.
+                       skip_examples=0, num_parallel_calls=8,
+                       filter_fn=None):
+        """Per-example transform RNG is keyed by the example's PRE-FILTER
+        stream position (not a shared sequential generator), so a resumed
+        run produces the byte-identical stream an unbroken run would see.
+        Without a filter_fn, `skip_examples` fast-forwards WITHOUT
+        decoding; with one, skipped examples must still be decoded and
+        filtered (their post-filter rank is data-dependent) but their
+        transform is skipped.
 
         Decode + transform run on an ordered thread pool (the reference's
         tf.data num_parallel_calls; PIL/TF decode release the GIL), with a
         bounded in-flight window so infinite streams don't accumulate."""
         src = self._get_source()
+        pre_skip = skip_examples if filter_fn is None else 0
+        post_skip = 0 if filter_fn is None else skip_examples
 
         def load(args):
             position, idx = args
             rng = np.random.Generator(np.random.Philox(
                 key=(seed + 131) % 2**63, counter=position))
             image, label = src.get(split, idx, self._seed)
-            if self._filter_fn is not None and not self._filter_fn(
-                    image, label):
+            if filter_fn is not None and not filter_fn(image, label):
                 return None
             image, label = transform(image, label, seed, rng)
             if self._label_map_fn is not None:
@@ -400,12 +526,26 @@ class ImageDatasetV2:
             position = -1
             for idx in self._iter_indices(split, shuffle, repeat, seed):
                 position += 1
-                if position < skip_examples:
+                if position < pre_skip:
                     continue
                 yield position, idx
 
+        it = positions()
+        # Post-filter fast-forward: the Nth *yielded* example must be
+        # skipped, and whether an example is yielded is data-dependent, so
+        # decode+filter (but don't transform) until the budget is consumed.
+        remaining = post_skip
+        while remaining > 0:
+            args = next(it, None)
+            if args is None:
+                return
+            _, idx = args
+            image, label = src.get(split, idx, self._seed)
+            if filter_fn(image, label):
+                remaining -= 1
+
         if num_parallel_calls <= 1:
-            for args in positions():
+            for args in it:
                 item = load(args)
                 if item is not None:
                     yield item
@@ -416,17 +556,13 @@ class ImageDatasetV2:
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=num_parallel_calls) as pool:
             window: collections.deque = collections.deque()
-            source = positions()
-            try:
-                for args in source:
-                    window.append(pool.submit(load, args))
-                    if len(window) < 2 * num_parallel_calls:
-                        continue
-                    item = window.popleft().result()
-                    if item is not None:
-                        yield item
-            finally:
-                pass
+            for args in it:
+                window.append(pool.submit(load, args))
+                if len(window) < 2 * num_parallel_calls:
+                    continue
+                item = window.popleft().result()
+                if item is not None:
+                    yield item
             while window:
                 item = window.popleft().result()
                 if item is not None:
@@ -454,17 +590,35 @@ class ImageDatasetV2:
         it = self._batch(
             self._iter_examples("train", shuffle=True, repeat=True,
                                 transform=self._train_transform, seed=seed,
-                                skip_examples=skip_batches * batch_size),
+                                skip_examples=skip_batches * batch_size,
+                                filter_fn=self._filter_fn),
             batch_size)
         return _prefetch(it, prefetch)
 
-    def eval_input_fn(self, batch_size, split="test", prefetch=2):
+    def _resolve_eval_split(self, split):
+        """Resolve the eval split against what's on disk: the requested
+        split, else 'validation' (the reference's ImageNet eval split,
+        datasets.py:514), else a hard error — NEVER a silent fall back to
+        'train', which would compute FID real statistics on training data."""
+        src = self._get_source()
+        for candidate in dict.fromkeys([split, "validation"]):
+            try:
+                src.num_examples(candidate)
+                return candidate
+            except (FileNotFoundError, KeyError):
+                continue
+        raise FileNotFoundError(
+            f"Dataset '{self._name}' has no eval split '{split}' (nor "
+            f"'validation'). Refusing to fall back to 'train' — eval "
+            f"metrics computed on training data are wrong by construction. "
+            f"Pass split='train' explicitly if that is really intended.")
+
+    def eval_input_fn(self, batch_size, split=None, prefetch=2):
         """Deterministic non-repeating eval stream (reference
-        `eval_input_fn`, datasets.py:293-318)."""
-        try:
-            self._get_source().num_examples(split)
-        except (FileNotFoundError, KeyError):
-            split = "train"
+        `eval_input_fn`, datasets.py:293-318; no filter, no shuffle).
+        `split=None` uses the dataset's eval split (`test`, or
+        `validation` for ImageNet — reference datasets.py:113,514)."""
+        split = self._resolve_eval_split(split or self._eval_split)
         it = self._batch(
             self._iter_examples(split, shuffle=False, repeat=False,
                                 transform=self._eval_transform,
@@ -472,7 +626,7 @@ class ImageDatasetV2:
             batch_size)
         return _prefetch(it, prefetch)
 
-    def load_eval_images(self, num_samples, split="test",
+    def load_eval_images(self, num_samples, split=None,
                          failure_on_insufficient_examples=True):
         """Pull `num_samples` eval images to a NumPy array in [0, 255]
         (reference eval_utils.get_real_images, eval_utils.py:87-141),
@@ -561,8 +715,10 @@ def _celeba_hq_128(seed):
 
 def _lsun_bedroom(seed):
     """99/1 train subsplit because the official val split is too small for
-    FID (reference datasets.py:399-427); modeled as filtering by index
-    hash — deterministic 1% held out for eval."""
+    FID (reference datasets.py:407-418, tfds.Split.TRAIN.subsplit([99, 1]));
+    modeled as filtering by index hash — deterministic 1% held out for
+    eval. Both splits use the reference's crop-or-pad-to-128 parse
+    (datasets.py:420-427) — no resize, no random crop."""
     holdout = lambda idx: (idx % 100) == 99  # noqa: E731
 
     class LsunDataset(ImageDatasetV2):
@@ -574,25 +730,39 @@ def _lsun_bedroom(seed):
                 if holdout(idx) == want_holdout:
                     yield idx
 
+        def _resolve_eval_split(self, split):
+            # Eval is a subsplit of the train files; there is nothing to
+            # resolve on disk.
+            return split
+
     return LsunDataset(
         name="lsun-bedroom", tfds_name="lsun/bedroom", resolution=128,
         colors=3, num_classes=None, eval_test_samples=30000, seed=seed,
-        train_transform=functools.partial(transform_random_crop, size=128),
-        eval_transform=functools.partial(transform_middle_crop, size=128))
+        train_transform=functools.partial(transform_crop_or_pad, size=128),
+        eval_transform=functools.partial(transform_crop_or_pad, size=128))
 
 
 def _imagenet(resolution, eval_samples=50000, name=None, filter_fn=None,
-              label_map_fn=None):
+              label_map_fn=None, filter_unlabeled=False):
+    """ImageNet family (reference ImagenetDataset, datasets.py:500-533):
+    distorted-crop train / middle-crop eval transforms (both with a
+    gin-configurable crop_method), eval on the VALIDATION split
+    (datasets.py:514), optional label>=0 filter (datasets.py:516-522)."""
+    if filter_unlabeled:
+        assert filter_fn is None
+        filter_fn = lambda image, label: label >= 0  # noqa: E731
+
     def ctor(seed):
         return ImageDatasetV2(
             name=name or f"imagenet_{resolution}",
             tfds_name="imagenet2012", resolution=resolution, colors=3,
             num_classes=1000, eval_test_samples=eval_samples, seed=seed,
             train_transform=functools.partial(
-                transform_distorted_crop, size=resolution),
+                train_imagenet_transform, size=resolution),
             eval_transform=functools.partial(
-                transform_middle_crop, size=resolution),
-            filter_fn=filter_fn, label_map_fn=label_map_fn)
+                eval_imagenet_transform, size=resolution),
+            filter_fn=filter_fn, label_map_fn=label_map_fn,
+            eval_split="validation")
     return ctor
 
 
@@ -683,8 +853,8 @@ DATASETS: Dict[str, Callable] = {
     "imagenet_256": _imagenet(256),
     "imagenet_512": _imagenet(512),
     "imagenet_512_hq400": _imagenet_512_hq400,
-    "labeled_only_imagenet_128": _imagenet(128,
-                                           name="labeled_only_imagenet_128"),
+    "labeled_only_imagenet_128": _imagenet(
+        128, name="labeled_only_imagenet_128", filter_unlabeled=True),
     "single_class_imagenet_128": _single_class(
         _imagenet(128), "single_class_imagenet_128"),
     "random_class_imagenet_128": _random_class(

@@ -83,7 +83,19 @@ def _tf_frozen_graph_fn(pb_path: str) -> Callable:
             with tf.compat.v1.Session(graph=graph) as sess:
                 pools, logit_out = [], []
                 for i in range(0, len(images), 64):
-                    batch = images[i:i + 64]
+                    # tfgan.eval.preprocess_image, which the reference maps
+                    # over inputs before run_inception (eval_utils.py:165-176):
+                    # bilinear resize to 299x299 then (x - 128) / 128 —
+                    # Mul:0 sits *after* the graph's own preprocessing, so
+                    # raw [0,255] dataset-resolution batches would crash on
+                    # non-299 inputs or skew the features.
+                    batch = np.asarray(images[i:i + 64], np.float32)
+                    if batch.shape[1:3] != (299, 299):
+                        from compare_gan_tpu.datasets import (
+                            _resize_bilinear_np)
+                        batch = np.stack([_resize_bilinear_np(im, (299, 299))
+                                          for im in batch])
+                    batch = (batch - 128.0) / 128.0
                     p, l = sess.run([pool, logits],
                                     {inp: batch})
                     pools.append(p.reshape(len(batch), -1))

@@ -168,9 +168,26 @@ def inception_features(params: Dict[str, jax.Array], images):
 
 
 def _resize_bilinear(images, size):
-    return jax.image.resize(
-        images, (images.shape[0], size, size, images.shape[3]),
-        method="bilinear")
+    """TF1 `tf.image.resize_bilinear` (align_corners=False, legacy scaling
+    src = dst_idx * in/out) — the exact op inside tfgan.eval's
+    preprocess_image that the reference maps over eval batches
+    (eval_utils.py:165-176). jax.image.resize uses half-pixel centers,
+    which diverges from the frozen graph's features."""
+    n, h, w, c = images.shape
+    if h == size and w == size:
+        return images
+    fy = jnp.arange(size, dtype=jnp.float32) * (np.float32(h) / size)
+    fx = jnp.arange(size, dtype=jnp.float32) * (np.float32(w) / size)
+    y0 = jnp.minimum(fy.astype(jnp.int32), h - 1)
+    x0 = jnp.minimum(fx.astype(jnp.int32), w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (fy - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (fx - x0.astype(jnp.float32))[None, None, :, None]
+    rows0, rows1 = images[:, y0], images[:, y1]
+    top = rows0[:, :, x0] + (rows0[:, :, x1] - rows0[:, :, x0]) * wx
+    bot = rows1[:, :, x0] + (rows1[:, :, x1] - rows1[:, :, x0]) * wx
+    return top + (bot - top) * wy
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -212,7 +229,9 @@ def convert_frozen_graph(pb_path: str, npz_out: str) -> None:
         if node.op != "Const":
             continue
         tensor = tf.make_ndarray(node.attr["value"].tensor)
-        if tensor.ndim >= 1:
+        # Weights only: the graph also carries int32 plumbing Consts
+        # (reduction indices, reshape shapes) that must not reach the npz.
+        if tensor.ndim >= 1 and np.issubdtype(tensor.dtype, np.floating):
             out[node.name] = tensor
     np.savez(npz_out, **out)
 

@@ -59,6 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tfrecord_read.argtypes = [c_char_p, i64, u8p, i64]
     lib.resize_area_f32.restype = None
     lib.resize_area_f32.argtypes = [f32p, i64, i64, i64, f32p, i64, i64]
+    lib.resize_bilinear_f32.restype = None
+    lib.resize_bilinear_f32.argtypes = [f32p, i64, i64, i64, f32p, i64, i64]
     lib.crop_resize_f32.restype = None
     lib.crop_resize_f32.argtypes = [f32p, i64, i64, i64, i64, i64, i64,
                                     i64, f32p, i64, i64]
@@ -109,6 +111,21 @@ def resize_area(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.resize_area_f32(image.ctypes.data_as(f32p), h, w, c,
                         out.ctypes.data_as(f32p), oh, ow)
+    return out
+
+
+def resize_bilinear(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """TF1 legacy bilinear resize of f32 HWC image (align_corners=False;
+    matches tf.image.resize_images — reference datasets.py:474-476)."""
+    lib = _load()
+    assert lib is not None
+    image = np.ascontiguousarray(image, np.float32)
+    h, w, c = image.shape
+    oh, ow = size
+    out = np.empty((oh, ow, c), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.resize_bilinear_f32(image.ctypes.data_as(f32p), h, w, c,
+                            out.ctypes.data_as(f32p), oh, ow)
     return out
 
 

@@ -123,6 +123,37 @@ void resize_area_f32(const float* src, int64_t sh, int64_t sw, int64_t c,
   box_resize(src, sh, sw, c, dst, dh, dw);
 }
 
+// TF1 `tf.image.resize_images` default bilinear (align_corners=false,
+// legacy scaling: src = dst_idx * in/out) — the resize the reference
+// applies after every crop (compare_gan/datasets.py:474-476).
+void resize_bilinear_f32(const float* src, int64_t sh, int64_t sw, int64_t c,
+                         float* dst, int64_t dh, int64_t dw) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  for (int64_t oy = 0; oy < dh; ++oy) {
+    const float fy = oy * sy;
+    const int64_t y0 = static_cast<int64_t>(fy);
+    const int64_t y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    for (int64_t ox = 0; ox < dw; ++ox) {
+      const float fx = ox * sx;
+      const int64_t x0 = static_cast<int64_t>(fx);
+      const int64_t x1 = std::min(x0 + 1, sw - 1);
+      const float wx = fx - x0;
+      const float* p00 = src + (y0 * sw + x0) * c;
+      const float* p01 = src + (y0 * sw + x1) * c;
+      const float* p10 = src + (y1 * sw + x0) * c;
+      const float* p11 = src + (y1 * sw + x1) * c;
+      float* q = dst + (oy * dw + ox) * c;
+      for (int64_t k = 0; k < c; ++k) {
+        const float top = p00[k] + (p01[k] - p00[k]) * wx;
+        const float bot = p10[k] + (p11[k] - p10[k]) * wx;
+        q[k] = top + (bot - top) * wy;
+      }
+    }
+  }
+}
+
 // Crop [top:top+ch, left:left+cw] then area-resize to (dh, dw).
 void crop_resize_f32(const float* src, int64_t sh, int64_t sw, int64_t c,
                      int64_t top, int64_t left, int64_t ch, int64_t cw,

@@ -154,20 +154,30 @@ class TaskManagerWithCsvResults(TaskManager):
             return gin.parse_operative_config(f.read())
 
     def add_eval_result(self, checkpoint_path, result_dict, default_value):
+        """Append a row, keeping the header the UNION of all columns ever
+        seen: the whole file is atomically rewritten when new metric or
+        config keys appear, so rows never misalign against a stale header
+        (the reference's per-row DictWriter header drifts,
+        runner_lib.py:207-224 — an honest rebuild should not)."""
         step = ckpt_lib.step_of(checkpoint_path)
         config = self._get_config_for_step(step)
-        header = (["checkpoint_path", "step"] + sorted(result_dict)
-                  + sorted(config))
-        write_header = not os.path.exists(self._score_file)
         row = dict(checkpoint_path=checkpoint_path, step=step, **config)
         for k, v in result_dict.items():
             row[k] = f"{v:.3f}" if isinstance(v, float) else v
-        with open(self._score_file, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=header,
-                                    extrasaction="ignore")
-            if write_header:
-                writer.writeheader()
-            writer.writerow(row)
+        rows: List[Dict[str, str]] = []
+        if os.path.exists(self._score_file):
+            with open(self._score_file, newline="") as f:
+                rows = [{k: v for k, v in r.items() if k is not None}
+                        for r in csv.DictReader(f)]
+        rows.append({k: str(v) for k, v in row.items()})
+        header = ["checkpoint_path", "step"] + sorted(
+            {k for r in rows for k in r} - {"checkpoint_path", "step"})
+        tmp = self._score_file + ".tmp"
+        with open(tmp, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=header, restval="")
+            writer.writeheader()
+            writer.writerows(rows)
+        os.replace(tmp, self._score_file)
 
     def get_checkpoints_with_results(self) -> Set[str]:
         if not os.path.exists(self._score_file):
@@ -250,16 +260,30 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         task_manager, max_steps=max_steps,
         every_n_steps=min(100, loop_steps))
     progress.report(start_step)
-    next_chunk = mesh_utils.stage_chunk(batches, loop_steps, shard_batch)
+
+    # When training_steps is not a multiple of iterations_per_loop, the
+    # last chunk is a shorter, separately-jitted tail loop — never train
+    # past max_steps (the reference can't: Estimator counts every step).
+    tail_loops: Dict[int, object] = {}
+
+    def loop_for(n):
+        if n == loop_steps:
+            return train_loop
+        if n not in tail_loops:
+            tail_loops[n] = jax.jit(gan.make_train_loop(batch_size, n),
+                                    donate_argnums=(0,))
+        return tail_loops[n]
+
+    steps_next = min(loop_steps, max_steps - step)
+    next_chunk = mesh_utils.stage_chunk(batches, steps_next, shard_batch)
     chunk_index = 0
     while step < max_steps:
-        chunk = next_chunk
-        steps_this_chunk = min(loop_steps, max_steps - step)
+        chunk, steps_this_chunk = next_chunk, steps_next
         # Profile the second chunk (first is compile + warmup).
         profiling = run_config.profile and chunk_index == 1
         if profiling:
             jax.profiler.start_trace(os.path.join(model_dir, "profile"))
-        ts, metrics = train_loop(ts, chunk)
+        ts, metrics = loop_for(steps_this_chunk)(ts, chunk)
         if profiling:
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), metrics)
@@ -268,8 +292,9 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         # Overlap: stage the next chunk while the device runs this one is
         # achieved by dispatch-then-stage; jax dispatches train_loop
         # asynchronously, so staging below overlaps device compute.
-        if step + steps_this_chunk < max_steps:
-            next_chunk = mesh_utils.stage_chunk(batches, loop_steps,
+        steps_next = min(loop_steps, max_steps - (step + steps_this_chunk))
+        if steps_next > 0:
+            next_chunk = mesh_utils.stage_chunk(batches, steps_next,
                                                 shard_batch)
         step += steps_this_chunk
         # Blocks on metrics only (small transfer).
@@ -336,7 +361,13 @@ def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
                 gan, checkpoint_path, eval_tasks, batch_size=batch_size,
                 num_averaging_runs=num_averaging_runs)
         except eval_gan_lib.NanFoundError:
-            result_dict = {}
+            # Fill every metric column with the sentinel so the CSV row
+            # records the failure (improves on the reference, whose
+            # add_eval_result drops default_value — runner_lib.py:207-224).
+            result_dict = {
+                f"{metric}_{suffix}": eval_gan_lib.NAN_DETECTED
+                for task in eval_tasks for metric in task.metric_list()
+                for suffix in ("mean", "std", "list")}
             default_value = eval_gan_lib.NAN_DETECTED
         task_manager.add_eval_result(checkpoint_path, result_dict,
                                      default_value)

@@ -110,22 +110,59 @@ options.training_steps = 1
         runner_lib.get_options_dict()
 
 
-def test_nan_sentinel_written(tmp_path):
-    """NaN during sampling ⇒ sentinel row (runner_lib.py:265-273)."""
+def test_nan_sentinel_written_to_csv(tmp_path):
+    """NaN during sampling ⇒ 31337.0 in every metric column of the CSV ROW
+    (improves on the reference, whose add_eval_result drops default_value —
+    reference runner_lib.py:207-224; asserted on file contents, not a spy)."""
     def nan_inception(images):
         raise eval_utils.NanFoundError("boom")
 
     eval_utils.set_inception_fn(nan_inception)
     rc = _run_config(tmp_path)
     tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
-    recorded = {}
-
-    def spy(path, result, default):
-        recorded["args"] = (path, result, default)
-
-    tm.add_eval_result = spy
     runner_lib.run_with_schedule("eval_after_train", rc, tm, _options(2),
                                  eval_every_steps=None)
-    _, result, default = recorded["args"]
-    assert result == {}
-    assert default == 31337.0
+    import csv
+    with open(os.path.join(tmp_path, "scores.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    for key in ["fid_score_mean", "fid_score_std", "fid_score_list",
+                "inception_score_mean", "inception_score_std"]:
+        assert float(rows[0][key]) == 31337.0, (key, rows[0])
+
+
+def test_scores_csv_header_is_stable_union(tmp_path):
+    """Late-appearing metric keys must not misalign rows: the file is
+    rewritten with the union header (fixes the reference's per-row
+    DictWriter header drift, runner_lib.py:207-224)."""
+    import csv
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    ckpt_a = os.path.join(tmp_path, "model.ckpt-2.npz")
+    ckpt_b = os.path.join(tmp_path, "model.ckpt-4.npz")
+    tm.add_eval_result(ckpt_a, {"fid_score_mean": 10.0}, -1.0)
+    tm.add_eval_result(ckpt_b, {"fid_score_mean": 9.0,
+                                "kid_score_mean": 0.1}, -1.0)
+    with open(os.path.join(tmp_path, "scores.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["fid_score_mean"] == "10.000"
+    assert rows[0]["kid_score_mean"] == ""  # restval, not misaligned
+    assert rows[1]["kid_score_mean"] == "0.100"
+    assert {r["checkpoint_path"] for r in rows} == {ckpt_a, ckpt_b}
+
+
+def test_training_steps_not_multiple_of_loop(tmp_path):
+    """training_steps % iterations_per_loop != 0 must stop exactly at
+    max_steps via a shorter tail chunk (r1 ADVICE runner_lib.py:257)."""
+    rc = _run_config(tmp_path, iterations_per_loop=3,
+                     save_checkpoints_steps=100)
+    tm = runner_lib.TaskManager(str(tmp_path))
+    runner_lib.run_with_schedule("train", rc, tm, _options(5))
+    latest = ckpt_lib.latest_checkpoint(str(tmp_path))
+    assert ckpt_lib.step_of(latest) == 5
+    # The checkpoint's internal counter must also be exactly 5: a resume
+    # must see start_step == max_steps and exit without training more.
+    with np.load(latest) as arrays:
+        step_keys = [k for k in arrays.files
+                     if k.endswith("step") and "disc" not in k]
+        assert step_keys, arrays.files[:20]
+        assert int(arrays[step_keys[0]]) == 5
