@@ -17,6 +17,7 @@ compare_gan per-core throughput for the same recipe (TPUEstimator, v3).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -44,11 +45,13 @@ def main():
     from __graft_entry__ import _make_biggan
 
     # bfloat16 activations on the MXU; params/losses/BN stats stay f32.
-    # joint_gen_for_disc batches the G forwards for both D sub-steps
-    # (the reference's experimental_joint_gen_for_disc option,
-    # modular_gan.py:444-463).
+    # joint_gen_for_disc batches the G forwards for both D sub-steps into
+    # one batch-32 forward (the reference's experimental_joint_gen_for_disc
+    # option, modular_gan.py:444-463) — better MXU utilization at the
+    # recipe's small per-core batch. BENCH_JOINT_GEN=0 opts out.
+    joint = os.environ.get("BENCH_JOINT_GEN", "1") == "1"
     gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
-                       compute_dtype="bfloat16")
+                       compute_dtype="bfloat16", joint_gen_for_disc=joint)
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
 

@@ -179,3 +179,172 @@ def test_batch_not_divisible_raises():
     mesh = mesh_utils.make_mesh()
     with pytest.raises(ValueError):
         mesh_utils.compile_train_loop(gan, ts, mesh, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-invariance goldens for the HARD state (r1 VERDICT Next #2, #10):
+# cross-replica BN moments, spectral-norm u_var updates, EMA — compared as
+# full TrainState pytrees, not just params.
+# ---------------------------------------------------------------------------
+
+
+# On step 1 Adam's update is g/(|g|+eps)*lr: for near-zero gradient
+# elements (|g| ~ eps) the update is violently sensitive to float
+# reduction-order noise — 64% of a bias can differ by ~lr/2 between two
+# bit-different but both-correct executions. Binding a large epsilon makes
+# the update LINEAR in the gradient, so the comparison actually measures
+# DP consistency (grads, BN moments, SN u_var) instead of noise
+# amplification through rsqrt.
+_LINEAR_ADAM = """
+ModularGAN.g_optimizer_fn = @AdamOptimizer
+ModularGAN.d_optimizer_fn = @AdamOptimizer
+AdamOptimizer.epsilon = 1e-3
+"""
+
+
+def _assert_trees_close(a, b, rtol=1e-4, atol=1e-4):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    assert len(la) == len(lb)
+    for (pa, va), (pb, vb) in zip(la, lb):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def _mesh_vs_single(gan, bs, seed=0):
+    """One train step on 1 device vs the 8-device data mesh, same global
+    batch. Returns both new TrainStates."""
+    ts_single = gan.init_state(jax.random.PRNGKey(0), bs)
+    ts_mesh = jax.tree_util.tree_map(jnp.copy, ts_single)
+    total = bs * gan.num_sub_steps
+    rng = np.random.RandomState(seed)
+    shape = (total,) + gan.dataset.image_shape
+    nc = gan.dataset.num_classes or 10
+    batch = {"images": rng.rand(*shape).astype(np.float32),
+             "labels": rng.randint(0, nc, total).astype(np.int32)}
+    new_single, _ = jax.jit(gan.make_train_step(bs))(ts_single, batch)
+    mesh = mesh_utils.make_mesh()
+    step_mesh, shard_batch, ts_mesh = mesh_utils.compile_train_step(
+        gan, ts_mesh, mesh, bs)
+    new_mesh, _ = step_mesh(ts_mesh, shard_batch(batch))
+    return new_single, new_mesh
+
+
+def test_mesh_invariance_bn_sn_resnet_cifar():
+    """resnet_cifar with standardize_batch BN + spectral norm everywhere:
+    params, BN moving_* and SN u_var must all be mesh-invariant (the
+    reference's hardest DP semantics — cross-replica BN per sub-step,
+    arch_ops.py:194-304 + CrossShardOptimizer)."""
+    from compare_gan_tpu import config as gin
+    gin.parse_config(_LINEAR_ADAM + """
+G.batch_norm_fn = @standardize_batch
+G.spectral_norm = True
+D.spectral_norm = True
+standardize_batch.decay = 0.9
+""")
+    datasets.set_fake_dataset(True)
+    gan = ModularGAN(
+        dataset=datasets.get_dataset("cifar10"), model_dir="/tmp/par_bnsn",
+        parameters={"architecture": "resnet_cifar_arch", "z_dim": 8,
+                    "lambda": 1, "disc_iters": 1})
+    new_single, new_mesh = _mesh_vs_single(gan, 8)
+    # The hard state must actually exist in this config.
+    state_keys = "\n".join(str(k) for k, _ in
+                           jax.tree_util.tree_leaves_with_path(
+                               new_single.state))
+    assert "u_var" in state_keys, state_keys
+    assert "moving_mean" in state_keys, state_keys
+    _assert_trees_close(new_single, new_mesh)
+    gin.clear_config()
+
+
+def test_mesh_invariance_conditional_biggan32():
+    """One conditional BigGAN-32 step (cBN + SN + EMA + hinge, the recipe
+    semantics) on 8 devices == 1 device, full TrainState."""
+    from compare_gan_tpu import config as gin
+    gin.parse_config(_LINEAR_ADAM + """
+weights.initializer = "orthogonal"
+G.batch_norm_fn = @conditional_batch_norm
+G.spectral_norm = True
+D.spectral_norm = True
+loss.fn = @hinge
+standardize_batch.decay = 0.9
+""")
+    datasets.set_fake_dataset(True)
+    gan = ModularGAN(
+        dataset=datasets.get_dataset("cifar10"), model_dir="/tmp/par_bg32",
+        parameters={"architecture": "resnet_biggan_arch", "z_dim": 120,
+                    "lambda": 1, "disc_iters": 1},
+        conditional=True, g_use_ema=True)
+    new_single, new_mesh = _mesh_vs_single(gan, 8)
+    _assert_trees_close(new_single, new_mesh)
+    gin.clear_config()
+
+
+def test_group_bn_matches_reference_group_semantics():
+    """num_batch_groups=2 under the mesh == single device == a NumPy
+    oracle of the reference's group_assignment semantics (contiguous
+    replica subgroups, tpu/tpu_ops.py:75-91)."""
+    from jax.sharding import NamedSharding
+    from compare_gan_tpu import core
+    from compare_gan_tpu.ops import arch_ops
+
+    x = np.random.RandomState(0).randn(8, 4, 4, 3).astype(np.float32)
+
+    def f(x_):
+        return arch_ops.standardize_batch(
+            x_, is_training=True, num_batch_groups=2, decay=0.9)
+
+    _, params, state = core.init(f, jax.random.PRNGKey(0), x)
+
+    def apply_fn(x_):
+        return core.apply(f, params, state, x_)
+
+    out1, st1 = jax.jit(apply_fn)(x)
+    mesh = mesh_utils.make_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out8, st8 = jax.jit(apply_fn)(xs)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8),
+                               rtol=1e-5, atol=1e-6)
+    _assert_trees_close(st1, st8, rtol=1e-5, atol=1e-6)
+
+    # Reference oracle: moments per contiguous half of the global batch
+    # (= replica groups {0..3}, {4..7} under contiguous batch sharding).
+    xg = x.reshape(2, 4, 4, 4, 3)
+    mean_g = xg.mean(axis=(1, 2, 3), keepdims=True)
+    var_g = (xg ** 2).mean(axis=(1, 2, 3), keepdims=True) - mean_g ** 2
+    oracle = ((xg - mean_g) / np.sqrt(var_g + 1e-3)).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out1), oracle, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ssgan_mesh_invariance():
+    """SSGAN concatenates rotated batches inside the step — exactly the
+    batch-dim bookkeeping where DP breaks silently (reference
+    ssgan.py:130-175). Full-state invariance, 8 devices vs 1."""
+    from compare_gan_tpu.gans.ssgan import SSGAN
+    datasets.set_fake_dataset(True)
+    gan = SSGAN(
+        dataset=datasets.get_dataset("cifar10"), model_dir="/tmp/par_ss",
+        parameters={"architecture": "dummy_arch", "z_dim": 8, "lambda": 1,
+                    "disc_iters": 1},
+        self_supervision="rotation_gan", rotated_batch_size=8)
+    new_single, new_mesh = _mesh_vs_single(gan, 8)
+    _assert_trees_close(new_single, new_mesh)
+
+
+def test_s3gan_mesh_invariance():
+    """S3GAN's predictor/projection heads + soft-label paths under the
+    mesh (reference s3gan.py:96-193)."""
+    from compare_gan_tpu.gans.s3gan import S3GAN
+    datasets.set_fake_dataset(True)
+    gan = S3GAN(
+        dataset=datasets.get_dataset("cifar10"), model_dir="/tmp/par_s3",
+        parameters={"architecture": "dummy_arch", "z_dim": 8, "lambda": 1,
+                    "disc_iters": 1},
+        conditional=True, self_supervision="rotation",
+        rotated_batch_fraction=2, project_y=True, use_predictor=True)
+    new_single, new_mesh = _mesh_vs_single(gan, 8)
+    _assert_trees_close(new_single, new_mesh)
