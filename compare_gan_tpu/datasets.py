@@ -51,6 +51,15 @@ def set_fake_dataset(value: bool) -> None:
     FAKE_DATASET = bool(value)
 
 
+def _u8_to_f32(image: np.ndarray) -> np.ndarray:
+    """uint8 -> float32 [0,1] via the native kernel when built (the
+    per-example decode post-processing fast path)."""
+    from compare_gan_tpu import native
+    if native.available():
+        return native.u8_to_f32(image).reshape(image.shape)
+    return image.astype(np.float32) / 255.0
+
+
 # ---------------------------------------------------------------------------
 # Record sources
 # ---------------------------------------------------------------------------
@@ -106,7 +115,7 @@ class NpzSource:
         images, labels = self._load(split)
         image = images[index]
         if image.dtype == np.uint8:
-            image = image.astype(np.float32) / 255.0
+            image = _u8_to_f32(image)
         return image, int(labels[index])
 
 
@@ -193,7 +202,7 @@ class TFRecordSource:
                 break
         if image.ndim == 2:
             image = image[:, :, None]
-        return image.astype(np.float32) / 255.0, label
+        return _u8_to_f32(image.astype(np.uint8)), label
 
 
 # ---------------------------------------------------------------------------
@@ -243,15 +252,28 @@ def _resize_bilinear_np(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 
 @gin.configurable("image_resize")
-def _resize(image, size, method="bilinear"):
+def _resize(image, size, method="bilinear", crop=None):
     """Post-crop resize. The reference's `tf.image.resize_images` default is
     bilinear (datasets.py:474-476), so that's the default here; bind
     `image_resize.method = "area"` to opt into the box-filter path (better
-    antialiasing for large downscales, but diverges from reference pixels)."""
+    antialiasing for large downscales, but diverges from reference pixels).
+
+    `crop=(top, left, h, w)` fuses the crop into the native resize kernel
+    (reads the source in place, no intermediate copy)."""
+    from compare_gan_tpu import native
+    if crop is not None:
+        top, left, ch, cw = crop
+        if native.available():
+            if method == "bilinear":
+                return native.crop_resize_bilinear(
+                    np.asarray(image, np.float32), top, left, ch, cw, size)
+            if method == "area":
+                return native.crop_resize(
+                    np.asarray(image, np.float32), top, left, ch, cw, size)
+        image = image[top:top + ch, left:left + cw]
     if image.shape[0] == size[0] and image.shape[1] == size[1]:
         return np.asarray(image, np.float32)
     if method == "bilinear":
-        from compare_gan_tpu import native
         if native.available():
             return native.resize_bilinear(np.asarray(image, np.float32), size)
         return _resize_bilinear_np(image, size)
@@ -305,7 +327,7 @@ def transform_random_crop(image, label, seed, rng, size):
     s = min(h, w)
     u = rng.uniform(size=2)
     top, left = int((h - s) * u[0]), int((w - s) * u[1])
-    return _resize(image[top:top + s, left:left + s], (size, size)), label
+    return _resize(image, (size, size), crop=(top, left, s, s)), label
 
 
 def transform_middle_crop(image, label, seed, rng, size):
@@ -314,7 +336,7 @@ def transform_middle_crop(image, label, seed, rng, size):
     h, w = image.shape[:2]
     s = min(h, w)
     top, left = (h - s) // 2, (w - s) // 2
-    return _resize(image[top:top + s, left:left + s], (size, size)), label
+    return _resize(image, (size, size), crop=(top, left, s, s)), label
 
 
 def transform_distorted_crop(image, label, seed, rng, size,
@@ -355,8 +377,8 @@ def transform_distorted_crop(image, label, seed, rng, size,
             continue
         top = int(rng.integers(0, h - ch + 1))
         left = int(rng.integers(0, w - cw + 1))
-        crop = image[top:top + ch, left:left + cw]
-        return _resize(crop, (size, size)), label
+        return _resize(image, (size, size),
+                       crop=(top, left, ch, cw)), label
     return _resize(image, (size, size)), label
 
 

@@ -54,15 +54,12 @@ def _log_qz(a, b, z, eps=1e-6):
     return jnp.sum(_beta_log_prob(a, b, u) - jnp.log(2.0), axis=-1)
 
 
-def train_gilbo(gan, ts, train_images=None, eval_images=None,
-                batch_size=64, train_steps=2000, eval_batches=64,
-                learning_rate=4e-4, seed=0):
-    """Train the GILBO regressor against the (frozen) generator and return
-    (gilbo, train_consistency, eval_consistency, self_consistency) in bits
-    per sample... nats, matching the reference's reporting (gilbo.py:
-    217-298)."""
-    z_dim = gan.z_dim
-    key = jax.random.PRNGKey(seed)
+def _make_gilbo_steps(gan, z_dim, batch_size, tx):
+    """Build the jitted GILBO step functions. Generator TrainState and
+    regressor params are explicit jit ARGUMENTS, never closed over —
+    closing over them bakes the weights into the HLO, which the axon
+    tunnel rejects for >~50 MB programs (r1 VERDICT Weak #5; same pattern
+    as eval_gan_lib._update_bn_accumulators)."""
 
     def sample_z(k, n):
         return jax.random.uniform(k, (n, z_dim), minval=-1.0, maxval=1.0)
@@ -70,19 +67,14 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     def fwd(x):
         return _regressor(x, z_dim)
 
-    x0, _ = gan.sample(ts, sample_z(jax.random.fold_in(key, 0), batch_size))
-    _, params, _ = core.init(fwd, jax.random.fold_in(key, 1), x0)
-    tx = optax.adam(learning_rate)
-    opt_state = tx.init(params)
-
-    def gen(k):
+    def gen(ts, k):
         z = sample_z(k, batch_size)
         x, _ = gan.sample(ts, z)
         return z, x
 
     @jax.jit
-    def train_step(params, opt_state, k):
-        z, x = gen(k)
+    def train_step(ts, params, opt_state, k):
+        z, x = gen(ts, k)
 
         def loss_fn(p):
             (a, b), _ = core.apply(fwd, p, {}, x)
@@ -92,28 +84,55 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    for i in range(train_steps):
-        params, opt_state, _ = train_step(
-            params, opt_state, jax.random.fold_in(key, 2 + i))
-
     log_pz = -z_dim * np.log(2.0)
 
     @jax.jit
-    def gilbo_batch(k):
-        z, x = gen(k)
+    def gilbo_batch(ts, params, k):
+        z, x = gen(ts, k)
         (a, b), _ = core.apply(fwd, params, {}, x)
         return jnp.mean(_log_qz(a, b, z)) - log_pz
 
-    gilbo = float(np.mean([gilbo_batch(jax.random.fold_in(key, 10_000 + i))
-                           for i in range(eval_batches)]))
-
     @jax.jit
-    def encode_mode(x):
+    def encode_mode(params, x):
         """Mode of q(z|x): Beta mode mapped back to [−1, 1]."""
         (a, b), _ = core.apply(fwd, params, {}, x)
         mode = jnp.where((a > 1) & (b > 1),
                          (a - 1.0) / jnp.maximum(a + b - 2.0, 1e-6), 0.5)
         return 2.0 * mode - 1.0
+
+    @jax.jit
+    def reencode_logq(ts, params, z1):
+        x2, _ = gan.sample(ts, z1)
+        (a, b), _ = core.apply(fwd, params, {}, x2)
+        return jnp.mean(_log_qz(a, b, z1)) - log_pz
+
+    return fwd, gen, train_step, gilbo_batch, encode_mode, reencode_logq
+
+
+def train_gilbo(gan, ts, train_images=None, eval_images=None,
+                batch_size=64, train_steps=2000, eval_batches=64,
+                learning_rate=4e-4, seed=0):
+    """Train the GILBO regressor against the (frozen) generator and return
+    (gilbo, train_consistency, eval_consistency, self_consistency) in bits
+    per sample... nats, matching the reference's reporting (gilbo.py:
+    217-298)."""
+    z_dim = gan.z_dim
+    key = jax.random.PRNGKey(seed)
+    tx = optax.adam(learning_rate)
+    (fwd, gen, train_step, gilbo_batch, encode_mode,
+     reencode_logq) = _make_gilbo_steps(gan, z_dim, batch_size, tx)
+
+    _, x0 = gen(ts, jax.random.fold_in(key, 0))
+    _, params, _ = core.init(fwd, jax.random.fold_in(key, 1), x0)
+    opt_state = tx.init(params)
+
+    for i in range(train_steps):
+        params, opt_state, _ = train_step(
+            ts, params, opt_state, jax.random.fold_in(key, 2 + i))
+
+    gilbo = float(np.mean([
+        gilbo_batch(ts, params, jax.random.fold_in(key, 10_000 + i))
+        for i in range(eval_batches)]))
 
     def consistency(images):
         """Re-encode → re-generate → re-encode; mean log q of the first
@@ -127,18 +146,14 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
             x = jnp.asarray(images[i:i + batch_size], jnp.float32)
             if x.shape[0] < batch_size:
                 break
-            z1 = encode_mode(x)
-            x2, _ = gan.sample(ts, z1)
-            (a, b), _ = core.apply(fwd, params, {}, x2)
-            vals.append(float(jnp.mean(_log_qz(a, b, z1)) - log_pz))
+            z1 = encode_mode(params, x)
+            vals.append(float(reencode_logq(ts, params, z1)))
         return float(np.mean(vals)) if vals else float("nan")
 
     def self_consistency():
-        z, x = gen(jax.random.fold_in(key, 999))
-        z1 = encode_mode(x)
-        x2, _ = gan.sample(ts, z1)
-        (a, b), _ = core.apply(fwd, params, {}, x2)
-        return float(jnp.mean(_log_qz(a, b, z1)) - log_pz)
+        _, x = gen(ts, jax.random.fold_in(key, 999))
+        z1 = encode_mode(params, x)
+        return float(reencode_logq(ts, params, z1))
 
     return (gilbo, consistency(train_images), consistency(eval_images),
             self_consistency())

@@ -64,6 +64,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.crop_resize_f32.restype = None
     lib.crop_resize_f32.argtypes = [f32p, i64, i64, i64, i64, i64, i64,
                                     i64, f32p, i64, i64]
+    lib.crop_resize_bilinear_f32.restype = None
+    lib.crop_resize_bilinear_f32.argtypes = [f32p, i64, i64, i64, i64, i64,
+                                             i64, i64, f32p, i64, i64]
     lib.u8_to_f32_scaled.restype = None
     lib.u8_to_f32_scaled.argtypes = [u8p, i64, f32p]
     _lib = lib
@@ -141,6 +144,22 @@ def crop_resize(image: np.ndarray, top: int, left: int, ch: int, cw: int,
     lib.crop_resize_f32(image.ctypes.data_as(f32p), h, w, c,
                         top, left, ch, cw,
                         out.ctypes.data_as(f32p), oh, ow)
+    return out
+
+
+def crop_resize_bilinear(image: np.ndarray, top: int, left: int, ch: int,
+                         cw: int, size: Tuple[int, int]) -> np.ndarray:
+    """Fused crop + TF1-legacy bilinear resize (no intermediate copy)."""
+    lib = _load()
+    assert lib is not None
+    image = np.ascontiguousarray(image, np.float32)
+    h, w, c = image.shape
+    oh, ow = size
+    out = np.empty((oh, ow, c), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.crop_resize_bilinear_f32(image.ctypes.data_as(f32p), h, w, c,
+                                 top, left, ch, cw,
+                                 out.ctypes.data_as(f32p), oh, ow)
     return out
 
 

@@ -167,6 +167,38 @@ void crop_resize_f32(const float* src, int64_t sh, int64_t sw, int64_t c,
   box_resize(crop.data(), ch, cw, c, dst, dh, dw);
 }
 
+// Fused crop + TF1-legacy bilinear resize: reads the source in place (no
+// intermediate crop copy) — the hot path of every ImageNet train example.
+void crop_resize_bilinear_f32(const float* src, int64_t sh, int64_t sw,
+                              int64_t c, int64_t top, int64_t left,
+                              int64_t ch, int64_t cw, float* dst,
+                              int64_t dh, int64_t dw) {
+  const float sy = static_cast<float>(ch) / dh;
+  const float sx = static_cast<float>(cw) / dw;
+  for (int64_t oy = 0; oy < dh; ++oy) {
+    const float fy = oy * sy;
+    const int64_t y0 = top + std::min(static_cast<int64_t>(fy), ch - 1);
+    const int64_t y1 = std::min(y0 + 1, top + ch - 1);
+    const float wy = fy - static_cast<int64_t>(fy);
+    for (int64_t ox = 0; ox < dw; ++ox) {
+      const float fx = ox * sx;
+      const int64_t x0 = left + std::min(static_cast<int64_t>(fx), cw - 1);
+      const int64_t x1 = std::min(x0 + 1, left + cw - 1);
+      const float wx = fx - static_cast<int64_t>(fx);
+      const float* p00 = src + (y0 * sw + x0) * c;
+      const float* p01 = src + (y0 * sw + x1) * c;
+      const float* p10 = src + (y1 * sw + x0) * c;
+      const float* p11 = src + (y1 * sw + x1) * c;
+      float* q = dst + (oy * dw + ox) * c;
+      for (int64_t k = 0; k < c; ++k) {
+        const float t = p00[k] + (p01[k] - p00[k]) * wx;
+        const float b = p10[k] + (p11[k] - p10[k]) * wx;
+        q[k] = t + (b - t) * wy;
+      }
+    }
+  }
+}
+
 // uint8 HWC -> float32 [0,1] (decode post-processing fast path).
 void u8_to_f32_scaled(const uint8_t* src, int64_t n, float* dst) {
   constexpr float kInv = 1.0f / 255.0f;

@@ -465,10 +465,13 @@ def layer_norm(x, is_training, scope="LayerNorm"):
         return (out * gamma + beta).astype(x.dtype)
 
 
+@gin.configurable("evonorm_s0")
 def evonorm_s0(x, name="evonorm"):
     """EvoNorm-S0 (Liu et al. 2020) — BN-free, collective-free normalization;
     a TPU-native extension (no reference counterpart), useful when
-    cross-replica BN traffic dominates at small per-chip batch."""
+    cross-replica BN traffic dominates at small per-chip batch. Gin hook:
+    `G.batch_norm_fn = @evonorm_s0` (batch-independent, so no cross-replica
+    moments and no moving statistics to synchronize)."""
     with core.scope(name):
         c = x.shape[-1]
         gamma = core.param("gamma", (c,), ones_init())

@@ -305,3 +305,64 @@ class TestResnetOps:
         # D: downscale in conv2
         assert "B1/same_conv1/kernel" in params
         assert "B1/down_conv2/kernel" in params
+
+
+class TestEvoNormS0:
+    def test_matches_numpy_oracle(self):
+        """EvoNorm-S0 (Liu et al. 2020): y = x*sigmoid(v*x)/group_std(x)
+        * gamma + beta, groups of channels, batch-independent."""
+        x = np.random.RandomState(0).randn(2, 4, 4, 64).astype(np.float32)
+
+        def net(x_):
+            return ops.evonorm_s0(x_, name="ev")
+
+        out, params, state = core.init(net, jax.random.PRNGKey(0), x)
+        assert set(params) == {"ev/gamma", "ev/beta", "ev/v"}
+        assert state == {}
+        # Oracle with init params (gamma=v=1, beta=0), groups=min(32, 64).
+        xg = x.reshape(2, 4, 4, 32, 2)
+        std = np.sqrt(xg.var(axis=(1, 2, 4), keepdims=True) + 1e-5)
+        std = np.broadcast_to(std, xg.shape).reshape(x.shape)
+        expected = x * (1.0 / (1.0 + np.exp(-x))) / std
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_batch_independent(self):
+        """Per-sample normalization: example 0's output must not depend on
+        example 1 (this is what makes it collective-free under DP)."""
+        x = np.random.RandomState(1).randn(2, 4, 4, 8).astype(np.float32)
+
+        def net(x_):
+            return ops.evonorm_s0(x_, name="ev")
+
+        out2, params, _ = core.init(net, jax.random.PRNGKey(0), x)
+        out1, _ = core.apply(net, params, {}, x[:1])
+        np.testing.assert_allclose(np.asarray(out2)[:1], np.asarray(out1),
+                                   rtol=1e-6)
+
+    def test_gin_hook_trains_modular_gan(self):
+        """`G.batch_norm_fn = @evonorm_s0` wires through the architecture
+        batch_norm dispatch; one ModularGAN step stays finite."""
+        from compare_gan_tpu import datasets
+        from compare_gan_tpu.gans.modular_gan import ModularGAN
+        gin.parse_config("G.batch_norm_fn = @evonorm_s0")
+        datasets.set_fake_dataset(True)
+        gan = ModularGAN(
+            dataset=datasets.get_dataset("cifar10"),
+            model_dir="/tmp/evonorm_test",
+            parameters={"architecture": "resnet_cifar_arch", "z_dim": 8,
+                        "lambda": 1, "disc_iters": 1})
+        ts = gan.init_state(jax.random.PRNGKey(0), 4)
+        # evonorm's learned `v` gate is unique to it among the norms.
+        assert any(k.endswith("/v") for k in ts.params), \
+            sorted(ts.params)[:40]
+        step = jax.jit(gan.make_train_step(4))
+        rng = np.random.RandomState(0)
+        total = 4 * gan.num_sub_steps
+        batch = {"images": rng.rand(total, 32, 32, 3).astype(np.float32),
+                 "labels": rng.randint(0, 10, total).astype(np.int32)}
+        _, metrics = step(ts, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        gin.clear_config()
+        datasets.set_fake_dataset(False)

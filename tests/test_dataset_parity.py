@@ -101,10 +101,17 @@ def test_middle_crop_matches_reference_ops():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def _identity_resize(im, size, crop=None):
+    if crop is not None:
+        top, left, ch, cw = crop
+        return im[top:top + ch, left:left + cw]
+    return im
+
+
 def test_distorted_crop_distribution(monkeypatch):
     """Square crops (aspect_ratio_range [1,1]) covering 50-100% of the
     image area with varying offsets (reference datasets.py:444-452)."""
-    monkeypatch.setattr(datasets, "_resize", lambda im, size: im)
+    monkeypatch.setattr(datasets, "_resize", _identity_resize)
     rng = np.random.default_rng(0)
     img = _rand_img(100, 150)
     sides, tops = [], []
@@ -121,7 +128,7 @@ def test_distorted_crop_distribution(monkeypatch):
 def test_distorted_crop_whole_image_fallback(monkeypatch):
     """No valid square crop with >=50% area on a 10x300 strip ->
     use_image_if_no_bounding_boxes semantics: the WHOLE image."""
-    monkeypatch.setattr(datasets, "_resize", lambda im, size: im)
+    monkeypatch.setattr(datasets, "_resize", _identity_resize)
     img = _rand_img(10, 300)
     crop, _ = datasets.transform_distorted_crop(
         img, 0, 1, np.random.default_rng(0), size=64)
@@ -148,6 +155,20 @@ def test_eval_imagenet_transform_default_is_middle():
     exp, _ = datasets.transform_middle_crop(
         img, 0, 1, np.random.default_rng(0), size=64)
     np.testing.assert_array_equal(out, exp)
+
+
+def test_fused_crop_resize_matches_slice_then_resize():
+    """native crop_resize_bilinear == slice + resize_bilinear, and the
+    middle-crop transform (which uses the fused path) == TF oracle."""
+    from compare_gan_tpu import native
+    img = _rand_img(150, 100)
+    ours = datasets._resize(img, (64, 64), crop=(25, 0, 100, 100))
+    ref = tf.compat.v1.image.resize_images(
+        tf.constant(img[25:125, 0:100]), [64, 64]).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    if native.available():
+        fused = native.crop_resize_bilinear(img, 25, 0, 100, 100, (64, 64))
+        np.testing.assert_allclose(fused, ref, atol=1e-5)
 
 
 def test_area_resize_optin_via_gin():
