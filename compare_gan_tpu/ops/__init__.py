@@ -15,6 +15,7 @@ from compare_gan_tpu.ops.arch_ops import (  # noqa: F401
     non_local_block,
     self_modulated_batch_norm,
     spectral_norm,
+    spectral_norm_sigma,
     standardize_batch,
     weight_initializer,
     weight_norm_conv2d,

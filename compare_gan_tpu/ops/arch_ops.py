@@ -97,7 +97,7 @@ def _l2_normalize(x, epsilon):
 
 @gin.configurable("spectral_norm")
 def spectral_norm_sigma(w, epsilon=1e-12, singular_value="left",
-                        state_name="kernel/u_var"):
+                        state_name="kernel/u_var", compute_dtype=None):
     """Largest singular value of w via one persisted power iteration.
 
     Matches arch_ops.py:453-535: kernel flattened to (−1, C_out), one
@@ -105,35 +105,58 @@ def spectral_norm_sigma(w, epsilon=1e-12, singular_value="left",
     2018), `u` persisted across steps, u/v gradients stopped but sigma
     differentiable in w. The u update is recorded via core state; whether
     it commits is decided by the caller of core.apply.
+
+    compute_dtype: dtype for the power-iteration matvecs. Layers pass
+    their activation dtype — on TPU under bf16 training the matvecs then
+    read the SAME bf16 kernel cast the conv/dense op consumes (XLA CSEs
+    the `w.astype` node), so SN adds bf16-sized HBM reads instead of
+    f32-sized ones. u-state, normalizations, and sigma accumulation stay
+    f32; sigma is a Rayleigh quotient, so bf16 rounding of the iterate
+    perturbs it only at second order (empirically ≲1e-3 relative — see
+    tests/test_arch_ops.py::test_bf16_power_iteration_sigma_accuracy).
     """
     if w.ndim < 2:
         raise ValueError("Spectral norm needs a multi-dimensional tensor.")
-    w_mat = jnp.reshape(w, (-1, w.shape[-1]))
+    if compute_dtype is not None and compute_dtype != w.dtype:
+        # Cast-then-reshape, matching the layer's `w.astype(x.dtype)`
+        # subexpression exactly so XLA shares the cast.
+        w_c = jnp.reshape(w.astype(compute_dtype), (-1, w.shape[-1]))
+        mm = jnp.matmul
+    else:
+        w_c = jnp.reshape(w, (-1, w.shape[-1]))
+        # f32 path: pin to full precision so the sigma estimate is immune
+        # to TPU's default bf16-accumulated matmul.
+        mm = functools.partial(jnp.matmul,
+                               precision=jax.lax.Precision.HIGHEST)
     if singular_value == "auto":
-        singular_value = "left" if w_mat.shape[0] <= w_mat.shape[1] else "right"
+        singular_value = "left" if w_c.shape[0] <= w_c.shape[1] else "right"
     if singular_value == "left":
-        u_shape = (w_mat.shape[0], 1)
+        u_shape = (w_c.shape[0], 1)
     else:
-        u_shape = (1, w_mat.shape[1])
+        u_shape = (1, w_c.shape[1])
     u = core.get_state(state_name, u_shape, init=_normal_init(1.0),
-                       dtype=w_mat.dtype)
-    # Power-iteration matmuls are tiny; pin them to full f32 so the sigma
-    # estimate is immune to TPU's default bf16-accumulated matmul path.
-    mm = functools.partial(jnp.matmul,
-                           precision=jax.lax.Precision.HIGHEST)
+                       dtype=w.dtype)
+    # Two HBM reads of w per forward instead of the naive three: the
+    # second power-iteration product t = W v is reused for both the u
+    # update AND sigma = u'^T (W v) = u'.t — mathematically identical to
+    # the reference's sigma = u'^T W v (arch_ops.py:516-521) without
+    # re-reading the kernel a third time (~85 MB per BigGAN 3x3x1536x1536
+    # kernel). Gradient is unchanged: u', v are stop-gradiented, so
+    # d sigma / dW = u' v^T exactly as before.
+    w_ng = jax.lax.stop_gradient(w_c)
     if singular_value == "left":
-        v = _l2_normalize(mm(w_mat.T, u), epsilon)
-        u = _l2_normalize(mm(w_mat, v), epsilon)
+        v = _l2_normalize(mm(w_ng.T, u.astype(w_ng.dtype)
+                             ).astype(jnp.float32), epsilon)
+        v = jax.lax.stop_gradient(v)
+        t = mm(w_c, v.astype(w_c.dtype)).astype(jnp.float32)   # [M, 1]
     else:
-        v = _l2_normalize(mm(u, w_mat.T), epsilon)
-        u = _l2_normalize(mm(v, w_mat), epsilon)
-    core.set_state(state_name, jax.lax.stop_gradient(u))
-    u = jax.lax.stop_gradient(u)
-    v = jax.lax.stop_gradient(v)
-    if singular_value == "left":
-        sigma = mm(mm(u.T, w_mat), v)[0, 0]
-    else:
-        sigma = mm(mm(v, w_mat), u.T)[0, 0]
+        v = _l2_normalize(mm(u.astype(w_ng.dtype), w_ng.T
+                             ).astype(jnp.float32), epsilon)
+        v = jax.lax.stop_gradient(v)
+        t = mm(v.astype(w_c.dtype), w_c).astype(jnp.float32)   # [1, C_out]
+    u = jax.lax.stop_gradient(_l2_normalize(t, epsilon))
+    core.set_state(state_name, u)
+    sigma = jnp.sum(t * u)
     return sigma
 
 
@@ -158,7 +181,8 @@ def linear(x, output_size, scope="linear", stddev=0.02, bias_start=0.0,
     with core.scope(scope):
         kernel = core.param("kernel", (x.shape[-1], output_size),
                             weight_initializer(stddev=stddev))
-        sigma = spectral_norm_sigma(kernel) if use_sn else None
+        sigma = (spectral_norm_sigma(kernel, compute_dtype=x.dtype)
+                 if use_sn else None)
         # No preferred_element_type: its conv/dot transpose rule rejects
         # mixed bf16/f32 cotangents, and the TPU MXU accumulates bf16
         # matmuls in f32 internally regardless.
@@ -179,7 +203,8 @@ def conv2d(x, output_dim, k_h, k_w, d_h, d_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        sigma = spectral_norm_sigma(w) if use_sn else None
+        sigma = (spectral_norm_sigma(w, compute_dtype=x.dtype)
+                 if use_sn else None)
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(d_h, d_w), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -204,7 +229,8 @@ def up_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        sigma = spectral_norm_sigma(w) if use_sn else None
+        sigma = (spectral_norm_sigma(w, compute_dtype=x.dtype)
+                 if use_sn else None)
         pl_h, pl_w = (k_h - 1) // 2, (k_w - 1) // 2
         # High padding +1 covers the unpool's trailing zero row/col.
         out = jax.lax.conv_general_dilated(
@@ -230,7 +256,8 @@ def down_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, x.shape[-1], output_dim),
                        weight_initializer(stddev=stddev))
-        sigma = spectral_norm_sigma(w) if use_sn else None
+        sigma = (spectral_norm_sigma(w, compute_dtype=x.dtype)
+                 if use_sn else None)
         # w_eff[a,b] = 1/4 * sum_{p,q in {0,1}} w[a-p, b-q]  (k+1 taps).
         pads = [((0, 1), (0, 1)), ((1, 0), (0, 1)),
                 ((0, 1), (1, 0)), ((1, 0), (1, 0))]
@@ -260,7 +287,8 @@ def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
     with core.scope(name):
         w = core.param("kernel", (k_h, k_w, out_ch, x.shape[-1]),
                        weight_initializer(stddev=stddev))
-        sigma = spectral_norm_sigma(w) if use_sn else None
+        sigma = (spectral_norm_sigma(w, compute_dtype=x.dtype)
+                 if use_sn else None)
         out = jax.lax.conv_transpose(
             x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
             dimension_numbers=("NHWC", "HWOI", "NHWC"))

@@ -39,18 +39,22 @@ def _row_tile(n):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(theta_ref, phi_ref, g_ref, out_ref):
+def _fwd_kernel(theta_ref, phi_ref, g_ref, out_ref, mx_ref, den_ref):
     theta = theta_ref[0].astype(jnp.float32)     # [TN, C]
     phi = phi_ref[0].astype(jnp.float32)         # [M, C]
     g = g_ref[0].astype(jnp.float32)             # [M, Cg]
     scores = jax.lax.dot_general(
         theta, phi, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)      # [TN, M]
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    weights = jnp.exp(scores)
-    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    out = jnp.dot(weights, g, preferred_element_type=jnp.float32)
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - mx)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    # Normalize AFTER the PV matmul: divides [TN, Cg] instead of [TN, M].
+    out = jnp.dot(e, g, preferred_element_type=jnp.float32) / den
     out_ref[0] = out.astype(out_ref.dtype)
+    # Stats saved for the backward pass (skips its max/sum recompute).
+    mx_ref[0] = mx
+    den_ref[0] = den
 
 
 def _attention_fwd_pallas(theta, phi, g):
@@ -69,9 +73,19 @@ def _attention_fwd_pallas(theta, phi, g):
             pl.BlockSpec((1, m, cg), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tn, cg), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, cg), theta.dtype),
+        out_specs=[
+            pl.BlockSpec((1, tn, cg), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, cg), theta.dtype),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ],
         interpret=_INTERPRET,
     )(theta, phi, g)
 
@@ -81,7 +95,7 @@ def _attention_fwd_pallas(theta, phi, g):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
+def _bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref, mx_ref, den_ref,
                 dtheta_ref, dphi_ref, dg_ref):
     j = pl.program_id(1)
     theta = theta_ref[0].astype(jnp.float32)
@@ -92,9 +106,9 @@ def _bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
     scores = jax.lax.dot_general(
         theta, phi, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)      # [TN, M]
+    # Row max/denominator come from the forward: one exp pass here, no
+    # max/sum reductions over the [TN, M] scores.
+    attn = jnp.exp(scores - mx_ref[0]) / den_ref[0]    # [TN, M]
 
     # dattn = dout @ g^T ; dscores = attn * (dattn - rowsum(dattn*attn))
     dattn = jax.lax.dot_general(
@@ -125,7 +139,7 @@ def _bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
     dg_ref[0] += dg_tile.astype(dg_ref.dtype)
 
 
-def _attention_bwd_pallas(theta, phi, g, dout):
+def _attention_bwd_pallas(theta, phi, g, dout, mx, den):
     b, n, c = theta.shape
     m, cg = phi.shape[1], g.shape[2]
     tn = _row_tile(n)
@@ -143,6 +157,10 @@ def _attention_bwd_pallas(theta, phi, g, dout):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn, cg), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
@@ -158,7 +176,7 @@ def _attention_bwd_pallas(theta, phi, g, dout):
             jax.ShapeDtypeStruct((b, m, cg), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(theta, phi, g, dout)
+    )(theta, phi, g, dout, mx, den)
 
 
 # ---------------------------------------------------------------------------
@@ -172,16 +190,19 @@ def fused_attention(theta, phi, g):
 
     theta: [B, N, C]; phi: [B, M, C]; g: [B, M, Cg] -> [B, N, Cg].
     """
-    return _attention_fwd_pallas(theta, phi, g)
+    return _attention_fwd_pallas(theta, phi, g)[0]
 
 
 def _fused_fwd(theta, phi, g):
-    return _attention_fwd_pallas(theta, phi, g), (theta, phi, g)
+    out, mx, den = _attention_fwd_pallas(theta, phi, g)
+    # mx/den are [B, N, 1] f32 — negligible HBM vs recomputing the row
+    # reductions over the [B, N, M] scores in the backward kernel.
+    return out, (theta, phi, g, mx, den)
 
 
 def _fused_bwd(residuals, dout):
-    theta, phi, g = residuals
-    dtheta, dphi, dg = _attention_bwd_pallas(theta, phi, g, dout)
+    theta, phi, g, mx, den = residuals
+    dtheta, dphi, dg = _attention_bwd_pallas(theta, phi, g, dout, mx, den)
     return dtheta, dphi.astype(phi.dtype), dg.astype(g.dtype)
 
 
