@@ -29,7 +29,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def timed(fn, *args, iters=30):
-    """Wall time per iteration of fn chained serially inside ONE jit."""
+    """Time per iteration of fn chained serially inside ONE jit.
+
+    The axon tunnel adds ~30 ms of fixed dispatch+fetch overhead per
+    program execution, so a single chained run overstates small ops by
+    ~30/iters ms. Run the SAME program at two trip counts (n and 4n,
+    fori_loop with a traced bound) and difference: the constant cancels.
+    """
 
     def body(i, carry):
         c, out = carry
@@ -41,19 +47,20 @@ def timed(fn, *args, iters=30):
         return tap * 1e-38, res
 
     @jax.jit
-    def run():
+    def run(n):
         first = fn(*args)
-        _, out = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.float32(0.0), first))
+        _, out = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), first))
         return out.reshape(-1)[0]
 
-    r = run()
-    float(r)  # warmup + materialize
-    t0 = time.perf_counter()
-    r = run()
-    float(r)
-    dt = time.perf_counter() - t0
-    return dt / (iters + 1)
+    def wall(n):
+        t0 = time.perf_counter()
+        float(run(n))
+        return time.perf_counter() - t0
+
+    float(run(iters))  # warmup/compile
+    t1 = min(wall(iters) for _ in range(2))
+    t4 = min(wall(4 * iters) for _ in range(2))
+    return max(t4 - t1, 1e-9) / (3 * iters)
 
 
 def upconv_variants(b, h, c_in, c_out, dtype=jnp.bfloat16):
