@@ -50,8 +50,16 @@ def main():
     # option, modular_gan.py:444-463) — better MXU utilization at the
     # recipe's small per-core batch. BENCH_JOINT_GEN=0 opts out.
     joint = os.environ.get("BENCH_JOINT_GEN", "1") == "1"
+    # fake_only_g_loss: the G sub-step's D forward runs on fakes only —
+    # mathematically identical g_loss/gradients/state for BigGAN's
+    # batch-decoupled D (no batch norm), at half the G-step D cost
+    # (exactness: tests/test_trainer.py::test_fake_only_g_loss_matches_concat;
+    # rationale: modular_gan.py __init__ docstring). BENCH_FAKE_ONLY=0 opts
+    # out to measure the reference's concat graph shape.
+    fake_only = os.environ.get("BENCH_FAKE_ONLY", "1") == "1"
     gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
-                       compute_dtype="bfloat16", joint_gen_for_disc=joint)
+                       compute_dtype="bfloat16", joint_gen_for_disc=joint,
+                       fake_only_g_loss=fake_only)
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
 

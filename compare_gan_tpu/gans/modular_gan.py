@@ -95,11 +95,26 @@ class ModularGAN(AbstractGAN):
                  d_optimizer_fn=None,
                  g_lr=0.0002, d_lr=None,
                  conditional=False, fit_label_distribution=False,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 experimental_fake_only_g_loss=False):
         super().__init__(dataset=dataset, parameters=parameters,
                          model_dir=model_dir)
         self._deprecated_split_disc_calls = deprecated_split_disc_calls
         self._experimental_joint_gen_for_disc = experimental_joint_gen_for_disc
+        # TPU-native extension: in the G sub-step, run D on the fakes only
+        # instead of the reference's concat(real, fake) batch. For every
+        # loss in loss_lib the generator loss depends solely on D(fake)
+        # (loss_lib.py:54-149), and no gradient flows into D during the G
+        # step, so for discriminators WITHOUT batch-coupled ops (no batch
+        # norm — e.g. the BigGAN/SNDCGAN recipes) the g_loss, all gradients
+        # and all state updates are mathematically identical while the
+        # G-step D forward+backward runs at half the batch. The reference's
+        # TF graph computes the concat because d_loss summaries live in the
+        # same subgraph (reference modular_gan.py:586-588 consumes only
+        # loss/g from the G step, but TF cannot dead-code-eliminate half of
+        # a concatenated convolution). Exactness is asserted by
+        # tests/test_trainer.py::test_fake_only_g_loss_matches_concat.
+        self._experimental_fake_only_g_loss = experimental_fake_only_g_loss
         # Unrolled semantics are the only semantics in this rebuild.
         del experimental_force_graph_unroll
         self._g_use_ema = g_use_ema
@@ -231,9 +246,10 @@ class ModularGAN(AbstractGAN):
             d_params=self.discriminator.trainable_variables(
                 dict(core._ctx().params)))
 
-    def create_loss(self, features, labels, is_training=True):
+    def create_loss(self, features, labels, is_training=True, g_step=False):
         """D and G losses + λ·penalty (modular_gan.py:618-670). Runs inside
-        a core context; returns a dict of scalars."""
+        a core context; returns a dict of scalars. `g_step` marks the G
+        sub-step's invocation (used by experimental_fake_only_g_loss)."""
         images = features["images"]
         generated = features["generated"]
         if self.conditional:
@@ -242,6 +258,21 @@ class ModularGAN(AbstractGAN):
             all_y = jnp.concatenate([y, sampled_y], axis=0)
         else:
             y = sampled_y = all_y = None
+
+        if g_step and self._experimental_fake_only_g_loss:
+            # G-step fast path: D on fakes only (see __init__ docstring).
+            # g_loss is identical for every loss_lib loss; d_loss/penalty
+            # are not consumed from the G sub-step (reference
+            # modular_gan.py:586-588) so they are reported as zeros.
+            d_fake, d_fake_logits, _ = self.discriminator(
+                generated, y=sampled_y, is_training=is_training)
+            stop = jax.lax.stop_gradient
+            _, _, _, g_loss = loss_lib.get_losses(
+                d_real=stop(d_fake), d_fake=d_fake,
+                d_real_logits=stop(d_fake_logits),
+                d_fake_logits=d_fake_logits)
+            zero = jnp.zeros((), jnp.float32)
+            return {"d_loss": zero, "g_loss": g_loss, "penalty_loss": zero}
 
         if self._deprecated_split_disc_calls:
             d_real, d_real_logits, _ = self.discriminator(
@@ -373,8 +404,9 @@ class ModularGAN(AbstractGAN):
                     features["generated"] = self.generator(
                         features["z"], y=sampled_y, is_training=True)
                     features["images"] = self._cast_compute(images)
-                    return self.create_loss(features, labels,
-                                            is_training=True)
+                    return utils.call_with_accepted_args(
+                        self.create_loss, features=features, labels=labels,
+                        is_training=True, g_step=True)
 
             losses, new_state = core.apply(fwd, all_params, state)
             return losses["g_loss"], (losses, new_state)

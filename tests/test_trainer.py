@@ -208,3 +208,45 @@ def test_sample_uses_ema_params():
     imgs, _ = gan.sample(ts, z)
     # Zero weights + sigmoid -> exactly 0.5 everywhere.
     np.testing.assert_allclose(imgs, 0.5, atol=1e-6)
+
+
+@pytest.mark.parametrize("arch", ["dummy_arch", "sndcgan_arch"])
+def test_fake_only_g_loss_matches_concat(arch):
+    """experimental_fake_only_g_loss must be a pure graph optimization for
+    batch-decoupled discriminators (no BN): identical g_loss, parameters,
+    optimizer state, and op state after training steps (modular_gan
+    reference consumes only loss/g from the G step, modular_gan.py:586-588).
+    """
+    from compare_gan_tpu.gans import optimizers
+    # SGD, not Adam: Adam normalizes away gradient magnitude, amplifying
+    # benign fusion-reassociation noise (~1e-7) into visible parameter
+    # differences; with SGD any surviving difference is semantic.
+    kwargs = {"disc_iters": 2,
+              "g_optimizer_fn": optimizers.sgd_optimizer,
+              "d_optimizer_fn": optimizers.sgd_optimizer}
+    results = []
+    for fake_only in (False, True):
+        gan, bs = _make_gan(arch=arch, batch=2,
+                            experimental_fake_only_g_loss=fake_only,
+                            **kwargs)
+        ts = gan.init_state(jax.random.PRNGKey(0), bs)
+        step = jax.jit(gan.make_train_step(bs))
+        for i in range(2):
+            ts, metrics = step(ts, _batch(gan, bs, seed=i))
+        results.append((ts, metrics))
+
+    (ts_a, m_a), (ts_b, m_b) = results
+    # The two graphs compile different fusions (batch 2B vs B convs), so
+    # spectral-norm u_var picks up ~1e-7 reassociation noise that Adam
+    # amplifies over steps — tolerances cover that, not semantics.
+    rtol, atol = (1e-4, 1e-6) if arch == "sndcgan_arch" else (1e-5, 1e-7)
+    np.testing.assert_allclose(m_a["loss/g"], m_b["loss/g"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m_a["loss/d_0"], m_b["loss/d_0"],
+                               rtol=1e-4, atol=1e-5)
+    for k in ts_a.params:
+        np.testing.assert_allclose(ts_a.params[k], ts_b.params[k],
+                                   rtol=rtol, atol=atol, err_msg=k)
+    for k in ts_a.state:
+        np.testing.assert_allclose(ts_a.state[k], ts_b.state[k],
+                                   rtol=rtol, atol=atol, err_msg=k)
