@@ -210,6 +210,26 @@ def test_sample_uses_ema_params():
     np.testing.assert_allclose(imgs, 0.5, atol=1e-6)
 
 
+def test_fake_only_g_loss_with_joint_gen_spied():
+    """bench.py's configuration: joint_gen_for_disc + fake_only_g_loss.
+    The two graph optimizations touch disjoint sub-graphs (D-step G
+    forwards vs the G-step D forward) — assert the combined call shapes:
+    one joint G forward of disc_iters*bs, one G forward of bs, D sees
+    2*bs on D sub-steps but only bs (fakes) on the G sub-step."""
+    gan, bs = _make_gan(disc_iters=2,
+                        experimental_joint_gen_for_disc=True,
+                        experimental_fake_only_g_loss=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    gan.generator.call_arg_list.clear()
+    gan.discriminator.call_arg_list.clear()
+    step = gan.make_train_step(bs)
+    step(ts, _batch(gan, bs))  # Untraced: spy shapes are concrete.
+    g_shapes = sorted(c["z"].shape[0] for c in gan.generator.call_arg_list)
+    assert g_shapes == [bs, 2 * bs]
+    d_shapes = sorted(c["x"].shape[0] for c in gan.discriminator.call_arg_list)
+    assert d_shapes == [bs, 2 * bs, 2 * bs]
+
+
 @pytest.mark.parametrize("arch", ["dummy_arch", "sndcgan_arch"])
 def test_fake_only_g_loss_matches_concat(arch):
     """experimental_fake_only_g_loss must be a pure graph optimization for
