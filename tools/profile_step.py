@@ -22,7 +22,8 @@ def main():
     from __graft_entry__ import _make_biggan
 
     gan = _make_biggan(resolution=128, batch_size=16,
-                       compute_dtype="bfloat16", joint_gen_for_disc=True)
+                       compute_dtype="bfloat16", joint_gen_for_disc=True,
+                       fake_only_g_loss=True)
     ts = gan.init_state(jax.random.PRNGKey(0), 16)
     step = jax.jit(gan.make_train_step(16), donate_argnums=0)
 
