@@ -37,8 +37,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 REFERENCE_STEPS_PER_SEC = 2.0
 
 BATCH_PER_CHIP = 16
-WARMUP_STEPS = 2
-TIMED_STEPS = 10
+# Steps per jitted lax.scan chunk. Training always runs the device-side
+# loop (the reference's iterations_per_loop=1000 TPUEstimator semantics;
+# runner_lib.train uses the same make_train_loop scan) — benchmarking the
+# chunked loop measures the production path and keeps host dispatch off
+# the measurement. BENCH_CHUNK=1 falls back to per-step dispatch timing.
+CHUNK_STEPS = int(os.environ.get("BENCH_CHUNK", "10"))
+WARMUP_CHUNKS = 1
+TIMED_CHUNKS = 2
 
 
 def main():
@@ -61,29 +67,32 @@ def main():
                        compute_dtype="bfloat16", joint_gen_for_disc=joint,
                        fake_only_g_loss=fake_only)
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
-    step = jax.jit(gan.make_train_step(BATCH_PER_CHIP), donate_argnums=0)
+    loop = jax.jit(gan.make_train_loop(BATCH_PER_CHIP, CHUNK_STEPS),
+                   donate_argnums=0)
 
     total = BATCH_PER_CHIP * gan.num_sub_steps
     rng = np.random.RandomState(0)
-    # Stage the batch on device once (training overlaps input transfer
-    # with compute; the bench measures the device step).
-    batch = jax.device_put({
-        "images": rng.rand(total, 128, 128, 3).astype(np.float32),
-        "labels": rng.randint(0, 1000, size=(total,)).astype(np.int32),
+    # Stage one chunk of batches on device (training overlaps staging with
+    # the previous chunk's compute; the bench measures the device loop).
+    chunk = jax.device_put({
+        "images": rng.rand(CHUNK_STEPS, total, 128, 128, 3
+                           ).astype(np.float32),
+        "labels": rng.randint(0, 1000, size=(CHUNK_STEPS, total)
+                              ).astype(np.int32),
     })
 
-    for _ in range(WARMUP_STEPS):
-        ts, metrics = step(ts, batch)
+    for _ in range(WARMUP_CHUNKS):
+        ts, metrics = loop(ts, chunk)
     float(metrics["loss/g"])  # Materialize: block_until_ready alone can
     # return early on tunneled backends.
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        ts, metrics = step(ts, batch)
+    for _ in range(TIMED_CHUNKS):
+        ts, metrics = loop(ts, chunk)
     float(metrics["loss/g"])  # One round trip closes the timed chain.
     dt = time.perf_counter() - t0
 
-    steps_per_sec = TIMED_STEPS / dt
+    steps_per_sec = TIMED_CHUNKS * CHUNK_STEPS / dt
     print(json.dumps({
         "metric": "biggan128_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
