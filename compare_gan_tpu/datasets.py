@@ -862,8 +862,20 @@ def _soft_labels(base_ctor, name):
     return ctor
 
 
+def _convex_polygons(seed):
+    """Synthetic convex-polygons dataset ("Are GANs Created Equal?",
+    reference colabs/Convex_Polygons_Dataset.ipynb; generator in
+    compare_gan_tpu/polygons.py — `polygons.write_npz_dataset` creates the
+    on-disk 60k/10k splits). Labels are the vertex count; trained
+    unconditionally like the paper."""
+    return ImageDatasetV2(
+        name="convex_polygons", tfds_name="convex_polygons", resolution=28,
+        colors=1, num_classes=None, eval_test_samples=10000, seed=seed)
+
+
 DATASETS: Dict[str, Callable] = {
     "celeb_a": _celeba,
+    "convex_polygons": _convex_polygons,
     "celeb_a_hq_128": _celeba_hq_128,
     "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
     "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,

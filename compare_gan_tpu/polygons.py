@@ -1,0 +1,120 @@
+"""Convex-polygons synthetic dataset ("Are GANs Created Equal?", NeurIPS
+2018; reference colabs/Convex_Polygons_Dataset.ipynb).
+
+Random convex polygons, rasterized dark-on-light with subpixel
+antialiasing. The paper's datasets are 80k instances of 28x28 triangles
+(60k train / 10k test / 10k holdout).
+
+Construction (same geometry as the reference generator): the circle is
+split into `n_vertices` angular segments; one vertex is drawn per segment
+with a `min_segment_angle/2` margin at each boundary, so neighboring
+vertices are at least `min_segment_angle` degrees apart. Vertices land on
+a circle of diameter `scale * raster_dim`, randomly rotated. Each pixel's
+value is the fraction of its `subpixel_res`^2 subpixel centers OUTSIDE
+the polygon (background 1.0, interior 0.0).
+
+Intentional deviations from the notebook (documented, behavior-level):
+* rotation is uniform over the full circle (the notebook converts an
+  already-radian angle with `np.radians` again, limiting rotation to
+  ~6 degrees) and applied to the vertex angles, keeping the polygon
+  centered instead of rotating the unit square about its corner;
+* antialiasing averages each pixel's own subpixel block (the notebook's
+  corner-anchored convolution window samples a half-pixel-shifted
+  neighborhood).
+
+`generate_dataset` matches the notebook's surface (labels = n_vertices,
+shuffled); `write_npz_dataset` emits `<dir>/convex_polygons/{split}.npz`
+in this framework's on-disk layout so the `convex_polygons` registry
+entry can train on it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def generate_convex_polygon(rng: np.random.RandomState, n_vertices: int,
+                            min_segment_angle: float, scale: float,
+                            raster_dim: int, subpixel_res: int,
+                            shift_to_mean: bool = False) -> np.ndarray:
+    """One [raster_dim, raster_dim] float32 image in [0, 1]."""
+    segment = 360.0 / n_vertices
+    # Per-segment vertex angle with half-margins at both segment ends.
+    offsets = rng.rand(n_vertices) * (segment - min_segment_angle)
+    angles = (np.arange(n_vertices) * segment + min_segment_angle / 2.0
+              + offsets)
+    angles = np.radians(angles + rng.rand() * 360.0)  # Random rotation.
+
+    center = raster_dim / 2.0
+    radius = scale * raster_dim / 2.0
+    vx = center + radius * np.cos(angles)
+    vy = center + radius * np.sin(angles)
+    if shift_to_mean:
+        vx += center - vx.mean()
+        vy += center - vy.mean()
+
+    # Subpixel centers in raster units.
+    r = subpixel_res
+    coords = (np.arange(raster_dim * r) + 0.5) / r
+    px, py = np.meshgrid(coords, coords, indexing="ij")
+
+    # Convex polygon containment: vertices are in CCW angular order, so a
+    # point is inside iff it is left of (or on) every directed edge.
+    inside = np.ones(px.shape, dtype=bool)
+    for k in range(len(vx)):
+        ax, ay = vx[k], vy[k]
+        bx, by = vx[(k + 1) % len(vx)], vy[(k + 1) % len(vy)]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        inside &= cross >= 0.0
+    outside = (~inside).astype(np.float32)
+
+    # Box-average each pixel's r x r subpixel block.
+    blocks = outside.reshape(raster_dim, r, raster_dim, r)
+    return blocks.mean(axis=(1, 3))
+
+
+def generate_dataset(n_instances: int, n_vertices: int = 3,
+                     min_segment_angle: float = 20.0, scale: float = 0.75,
+                     raster_dim: int = 28, subpixel_res: int = 8,
+                     shift_to_mean: bool = False, seed: int = 0):
+    """Returns (images [N, raster_dim, raster_dim, 1] float32 in [0, 1],
+    labels [N] = n_vertices), shuffled — the notebook's GenerateDataset
+    surface."""
+    if n_vertices < 3:
+        raise ValueError("Need more than 2 vertices.")
+    if min_segment_angle > 360.0 / n_vertices:
+        raise ValueError("The minimum segment angle is infeasible.")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError("Scale must be within (0, 1]")
+    if raster_dim <= 1:
+        raise ValueError("Raster sidelength has to be greater than 1.")
+    rng = np.random.RandomState(seed)
+    images = np.stack([
+        generate_convex_polygon(rng, n_vertices, min_segment_angle, scale,
+                                raster_dim, subpixel_res, shift_to_mean)
+        for _ in range(n_instances)])
+    labels = np.full(n_instances, n_vertices, dtype=np.int8)
+    ids = rng.permutation(n_instances)
+    return images[ids, :, :, None], labels[ids]
+
+
+def write_npz_dataset(data_dir: str, n_train: int = 60000,
+                      n_test: int = 10000, n_holdout: int = 10000,
+                      seed: int = 0, **kwargs) -> str:
+    """Write the paper's 60k/10k/10k triangle splits as
+    `<data_dir>/convex_polygons/{train,test,holdout}.npz` (uint8), ready
+    for `datasets.get_dataset("convex_polygons")`."""
+    out = os.path.join(data_dir, "convex_polygons")
+    os.makedirs(out, exist_ok=True)
+    total = n_train + n_test + n_holdout
+    images, labels = generate_dataset(total, seed=seed, **kwargs)
+    images = np.round(images * 255.0).astype(np.uint8)
+    splits = {"train": (0, n_train),
+              "test": (n_train, n_train + n_test),
+              "holdout": (n_train + n_test, total)}
+    for split, (lo, hi) in splits.items():
+        np.savez(os.path.join(out, f"{split}.npz"),
+                 images=images[lo:hi], labels=labels[lo:hi])
+    return out

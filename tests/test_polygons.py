@@ -1,0 +1,59 @@
+"""Convex-polygons synthetic dataset (reference
+colabs/Convex_Polygons_Dataset.ipynb; compare_gan_tpu/polygons.py)."""
+
+import numpy as np
+import pytest
+
+from compare_gan_tpu import datasets, polygons
+
+
+def test_polygon_geometry():
+    rng = np.random.RandomState(0)
+    img = polygons.generate_convex_polygon(
+        rng, n_vertices=3, min_segment_angle=20.0, scale=0.75,
+        raster_dim=28, subpixel_res=8)
+    assert img.shape == (28, 28)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # Dark polygon on light background: corners are background (the
+    # polygon lives on a scale*dim/2 circle about the center).
+    assert img[0, 0] == 1.0 and img[-1, -1] == 1.0
+    # Interior exists: some fully-covered pixels.
+    assert (img == 0.0).sum() > 10
+    # Antialiased edges: fractional values present.
+    assert ((img > 0.0) & (img < 1.0)).sum() > 0
+    # Triangle area (1 - mean) is bounded by the circumscribing circle's
+    # and is at least the smallest min-angle triangle's.
+    area_frac = (1.0 - img).sum() / img.size
+    circle_frac = np.pi * (0.75 / 2) ** 2
+    assert 0.02 < area_frac < circle_frac
+
+
+def test_dataset_surface_and_determinism():
+    a_imgs, a_labels = polygons.generate_dataset(8, seed=3)
+    b_imgs, b_labels = polygons.generate_dataset(8, seed=3)
+    np.testing.assert_array_equal(a_imgs, b_imgs)
+    assert a_imgs.shape == (8, 28, 28, 1) and a_imgs.dtype == np.float32
+    assert list(a_labels) == [3] * 8
+    c_imgs, _ = polygons.generate_dataset(8, seed=4)
+    assert not np.array_equal(a_imgs, c_imgs)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"n_vertices": 2}, {"min_segment_angle": 200.0}, {"scale": 1.5},
+    {"raster_dim": 1}])
+def test_infeasible_args_raise(kwargs):
+    with pytest.raises(ValueError):
+        polygons.generate_dataset(1, **{"n_vertices": 3, **kwargs})
+
+
+def test_npz_roundtrip_through_registry(tmp_path, monkeypatch):
+    polygons.write_npz_dataset(str(tmp_path), n_train=32, n_test=8,
+                               n_holdout=8)
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("convex_polygons")
+    batch = next(ds.train_input_fn(batch_size=4))
+    assert batch["images"].shape == (4, 28, 28, 1)
+    assert batch["images"].min() >= 0.0 and batch["images"].max() <= 1.0
+    ev = next(ds.eval_input_fn(batch_size=4))
+    assert ev["images"].shape == (4, 28, 28, 1)
