@@ -202,6 +202,9 @@ class TFRecordSource:
                 break
         if image.ndim == 2:
             image = image[:, :, None]
+        if image.dtype == np.uint16:
+            # 16-bit PNGs: scale, never wrap modulo 256.
+            image = (image // 257).astype(np.uint8)
         return _u8_to_f32(image.astype(np.uint8)), label
 
 
@@ -522,13 +525,18 @@ class ImageDatasetV2:
         run produces the byte-identical stream an unbroken run would see.
         Without a filter_fn, `skip_examples` fast-forwards WITHOUT
         decoding; with one, skipped examples must still be decoded and
-        filtered (their post-filter rank is data-dependent) but their
-        transform is skipped.
+        filtered (their post-filter rank is data-dependent) — they ride
+        the parallel pipeline and are discarded (per-position RNG keys
+        keep later examples byte-identical either way).
 
         Decode + transform run on an ordered thread pool (the reference's
         tf.data num_parallel_calls; PIL/TF decode release the GIL), with a
         bounded in-flight window so infinite streams don't accumulate."""
         src = self._get_source()
+        # The split whose FILES back this stream — subsplit datasets
+        # (lsun-bedroom) carve eval out of the train shards, so their
+        # index stream uses `split` but the source reads `src_split`.
+        src_split = self._source_split(split)
         pre_skip = skip_examples if filter_fn is None else 0
         post_skip = 0 if filter_fn is None else skip_examples
 
@@ -536,7 +544,7 @@ class ImageDatasetV2:
             position, idx = args
             rng = np.random.Generator(np.random.Philox(
                 key=(seed + 131) % 2**63, counter=position))
-            image, label = src.get(split, idx, self._seed)
+            image, label = src.get(src_split, idx, self._seed)
             if filter_fn is not None and not filter_fn(image, label):
                 return None
             image, label = transform(image, label, seed, rng)
@@ -555,40 +563,36 @@ class ImageDatasetV2:
         it = positions()
         # Post-filter fast-forward: the Nth *yielded* example must be
         # skipped, and whether an example is yielded is data-dependent, so
-        # decode+filter (but don't transform) until the budget is consumed.
+        # skipped examples ride the same (parallel) decode pipeline and
+        # are discarded until the budget is consumed — a resume deep into
+        # a filtered dataset fast-forwards at full pool throughput.
         remaining = post_skip
-        while remaining > 0:
-            args = next(it, None)
-            if args is None:
+
+        def results():
+            if num_parallel_calls <= 1:
+                for args in it:
+                    yield load(args)
                 return
-            _, idx = args
-            image, label = src.get(split, idx, self._seed)
-            if filter_fn(image, label):
+            import collections
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=num_parallel_calls) as pool:
+                window: collections.deque = collections.deque()
+                for args in it:
+                    window.append(pool.submit(load, args))
+                    if len(window) < 2 * num_parallel_calls:
+                        continue
+                    yield window.popleft().result()
+                while window:
+                    yield window.popleft().result()
+
+        for item in results():
+            if item is None:
+                continue
+            if remaining > 0:
                 remaining -= 1
-
-        if num_parallel_calls <= 1:
-            for args in it:
-                item = load(args)
-                if item is not None:
-                    yield item
-            return
-
-        import collections
-        import concurrent.futures
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=num_parallel_calls) as pool:
-            window: collections.deque = collections.deque()
-            for args in it:
-                window.append(pool.submit(load, args))
-                if len(window) < 2 * num_parallel_calls:
-                    continue
-                item = window.popleft().result()
-                if item is not None:
-                    yield item
-            while window:
-                item = window.popleft().result()
-                if item is not None:
-                    yield item
+                continue
+            yield item
 
     def _batch(self, it, batch_size):
         images, labels = [], []
@@ -616,6 +620,11 @@ class ImageDatasetV2:
                                 filter_fn=self._filter_fn),
             batch_size)
         return _prefetch(it, prefetch)
+
+    def _source_split(self, split):
+        """The on-disk split backing `split`'s stream (identity here;
+        subsplit datasets read eval examples out of the train shards)."""
+        return split
 
     def _resolve_eval_split(self, split):
         """Resolve the eval split against what's on disk: the requested
@@ -756,6 +765,11 @@ def _lsun_bedroom(seed):
             # Eval is a subsplit of the train files; there is nothing to
             # resolve on disk.
             return split
+
+        def _source_split(self, split):
+            # Every stream — train and the 1% holdout — reads the train
+            # shards; _iter_indices partitions them by index.
+            return "train"
 
     return LsunDataset(
         name="lsun-bedroom", tfds_name="lsun/bedroom", resolution=128,

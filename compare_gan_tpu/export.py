@@ -69,21 +69,30 @@ def _build_arch(spec, kind):
 
 def load_generator(export_dir: str) -> Tuple[Callable, dict]:
     """Returns (generate(z, labels=None) -> images, spec). The fn is pure
-    and jittable at any batch size (the 'gen' hub tag)."""
+    and jittable at any batch size (the 'gen' hub tag).
+
+    The returned fn jits internally with params/state as ARGUMENTS: large
+    weight pytrees must never be baked into the HLO (on tunneled backends
+    programs over ~50 MB are rejected; same fix as metrics/gilbo.py)."""
     spec, params, state = _load(export_dir)
     generator = _build_arch(spec, "gen")
 
-    def generate(z, labels=None):
+    @jax.jit
+    def run(params, state, z, labels):
         def fwd():
-            y = None
-            if spec["conditional"]:
-                if labels is None:
-                    raise ValueError("Conditional generator needs labels.")
-                y = jax.nn.one_hot(labels, spec["num_classes"])
+            y = (jax.nn.one_hot(labels, spec["num_classes"])
+                 if spec["conditional"] else None)
             return generator(z, y=y, is_training=False)
 
         images, _ = core.apply(fwd, params, state)
         return images
+
+    def generate(z, labels=None):
+        if spec["conditional"] and labels is None:
+            raise ValueError("Conditional generator needs labels.")
+        if labels is None:
+            labels = np.zeros(len(z), np.int32)
+        return run(params, state, z, labels)
 
     return generate, spec
 
@@ -127,21 +136,26 @@ def export_saved_model(gan, ts, export_dir: str,
 
 def load_discriminator(export_dir: str) -> Tuple[Callable, dict]:
     """Returns (discriminate(images, labels=None) -> (pred, logits,
-    features), spec). The 'disc' hub tag."""
+    features), spec). The 'disc' hub tag. Jits internally with
+    params/state as arguments (see load_generator)."""
     spec, params, state = _load(export_dir)
     discriminator = _build_arch(spec, "disc")
 
-    def discriminate(images, labels=None):
+    @jax.jit
+    def run(params, state, images, labels):
         def fwd():
-            y = None
-            if spec["conditional"]:
-                if labels is None:
-                    raise ValueError(
-                        "Conditional discriminator needs labels.")
-                y = jax.nn.one_hot(labels, spec["num_classes"])
+            y = (jax.nn.one_hot(labels, spec["num_classes"])
+                 if spec["conditional"] else None)
             return discriminator(images, y=y, is_training=False)
 
         out, _ = core.apply(fwd, params, state)
         return out
+
+    def discriminate(images, labels=None):
+        if spec["conditional"] and labels is None:
+            raise ValueError("Conditional discriminator needs labels.")
+        if labels is None:
+            labels = np.zeros(len(images), np.int32)
+        return run(params, state, images, labels)
 
     return discriminate, spec

@@ -264,6 +264,16 @@ class ModularGAN(AbstractGAN):
             # g_loss is identical for every loss_lib loss; d_loss/penalty
             # are not consumed from the G sub-step (reference
             # modular_gan.py:586-588) so they are reported as zeros.
+            # Gradient penalties are excluded: their extra D forward in
+            # the concat G step commits one more SN power iteration per
+            # kernel, so skipping it would NOT be state-identical.
+            penalty_fn = gin.query("penalty.fn", penalty_lib.no_penalty)
+            if getattr(penalty_fn, "__gin_name__", None) != "no_penalty":
+                raise ValueError(
+                    "experimental_fake_only_g_loss requires penalty.fn = "
+                    "@no_penalty: a configured penalty's extra D forward "
+                    "in the G sub-step advances spectral-norm u state "
+                    "that the fake-only graph skips.")
             d_fake, d_fake_logits, _ = self.discriminator(
                 generated, y=sampled_y, is_training=is_training)
             stop = jax.lax.stop_gradient

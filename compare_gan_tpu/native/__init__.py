@@ -91,16 +91,29 @@ def index_tfrecords(path: str) -> List[int]:
     return offsets[:got].tolist()
 
 
+_read_local = __import__("threading").local()
+
+
 def read_record(path: str, offset: int, max_size: int = 64 << 20) -> bytes:
+    """Read one record. The scratch buffer is thread-local and reused —
+    this sits on the per-example decode hot path, and a fresh multi-MB
+    np.empty per call would mmap/munmap at the pipeline rate."""
     lib = _load()
     assert lib is not None
-    buf = np.empty(max_size, np.uint8)
-    got = lib.tfrecord_read(
-        path.encode(), offset,
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_size)
-    if got < 0:
-        raise IOError(f"Cannot read record at {path}:{offset}.")
-    return buf[:got].tobytes()
+    buf = getattr(_read_local, "buf", None)
+    if buf is None:
+        buf = _read_local.buf = np.empty(1 << 20, np.uint8)
+    while True:
+        got = lib.tfrecord_read(
+            path.encode(), offset,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
+        if got >= 0:
+            return buf[:got].tobytes()
+        if len(buf) >= max_size:
+            raise IOError(f"Cannot read record at {path}:{offset}.")
+        # -1 is also "record larger than buffer": grow and retry (a real
+        # IO error will still fail at the max_size cap).
+        buf = _read_local.buf = np.empty(len(buf) * 8, np.uint8)
 
 
 def resize_area(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

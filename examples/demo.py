@@ -21,7 +21,6 @@ import os
 import sys
 
 from absl import app, flags
-import jax
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -59,8 +58,10 @@ def main(argv):
     misc.check_folder(FLAGS.out_dir)
     rng = np.random.RandomState(FLAGS.noise_seed)
 
+    # load_generator/load_discriminator jit internally with params as
+    # arguments — do NOT wrap them in jax.jit here (that would bake the
+    # weights into the HLO; see CLAUDE.md's axon >50 MB program gotcha).
     generate, spec = export.load_generator(FLAGS.export_dir)
-    generate = jax.jit(generate)
     print(f"Loaded {spec['architecture']} (step {spec['step']}, "
           f"dataset {spec['dataset']}, conditional={spec['conditional']})")
 
@@ -93,7 +94,6 @@ def main(argv):
 
     # 3. Discriminator predictions (colab "Discriminator" cell).
     discriminate, _ = export.load_discriminator(FLAGS.export_dir)
-    discriminate = jax.jit(discriminate)
     batch = rng.random_sample((4,) + tuple(spec["image_shape"])).astype(
         np.float32)
     d_labels = _sample_labels(rng, 4, spec)

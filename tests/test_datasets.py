@@ -101,3 +101,24 @@ def test_transforms_produce_requested_resolution():
     assert out.shape == (128, 128, 3)
     out, _ = datasets.transform_random_crop(image, 0, 1, rng, size=32)
     assert out.shape == (32, 32, 3)
+
+
+def test_lsun_eval_reads_train_shards(tmp_path, monkeypatch):
+    """lsun-bedroom's eval split is a 1% holdout of the TRAIN files —
+    with real data on disk (train split only) eval must read the train
+    shards, not request nonexistent 'test' files."""
+    rng = np.random.RandomState(0)
+    d = tmp_path / "lsun" / "bedroom"
+    d.mkdir(parents=True)
+    np.savez(d / "train.npz",
+             images=rng.randint(0, 255, size=(300, 128, 128, 3),
+                                dtype=np.uint8),
+             labels=np.zeros(300, np.int64))
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("lsun-bedroom")
+    ev = next(ds.eval_input_fn(batch_size=2))
+    assert ev["images"].shape == (2, 128, 128, 3)
+    # Holdout examples (idx % 100 == 99) are disjoint from training ones.
+    tr = next(ds.train_input_fn(batch_size=2))
+    assert not np.array_equal(ev["images"], tr["images"])

@@ -210,6 +210,17 @@ def test_sample_uses_ema_params():
     np.testing.assert_allclose(imgs, 0.5, atol=1e-6)
 
 
+def test_fake_only_g_loss_rejects_penalties():
+    """A gradient penalty's extra D forward commits SN u updates in the
+    concat G step — the fake-only graph must refuse, not silently
+    diverge."""
+    gin.parse_config("penalty.fn = @wgangp_penalty")
+    gan, bs = _make_gan(experimental_fake_only_g_loss=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    with pytest.raises(ValueError, match="no_penalty"):
+        gan.make_train_step(bs)(ts, _batch(gan, bs))
+
+
 def test_fake_only_g_loss_with_joint_gen_spied():
     """bench.py's configuration: joint_gen_for_disc + fake_only_g_loss.
     The two graph optimizations touch disjoint sub-graphs (D-step G
