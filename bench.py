@@ -66,6 +66,14 @@ def main():
     gan = _make_biggan(resolution=128, batch_size=BATCH_PER_CHIP,
                        compute_dtype="bfloat16", joint_gen_for_disc=joint,
                        fake_only_g_loss=fake_only)
+    # BENCH_BF16_MOMENTS=1: opt-in extension, Adam's first moment stored
+    # in bf16 (AdamOptimizer.moment_dtype gin knob) — halves the m
+    # read+write share of the bandwidth-bound parameter passes. OFF by
+    # default: the official number keeps the reference's f32 optimizer
+    # numerics.
+    if os.environ.get("BENCH_BF16_MOMENTS", "0") == "1":
+        from compare_gan_tpu import config as gin
+        gin.parse_config("AdamOptimizer.moment_dtype = 'bfloat16'")
     ts = gan.init_state(jax.random.PRNGKey(0), BATCH_PER_CHIP)
     loop = jax.jit(gan.make_train_loop(BATCH_PER_CHIP, CHUNK_STEPS),
                    donate_argnums=0)

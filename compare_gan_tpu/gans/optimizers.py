@@ -17,9 +17,19 @@ from compare_gan_tpu import config as gin
 
 @gin.configurable("AdamOptimizer")
 def adam_optimizer(learning_rate, beta1=0.9, beta2=0.999, epsilon=1e-8,
-                   name=None):
+                   moment_dtype=None, name=None):
+    """optax Adam under the reference's binding name.
+
+    moment_dtype: TPU-native opt-in extension — store the FIRST moment in
+    a reduced dtype ('bfloat16'). The optimizer's parameter passes are
+    HBM-bandwidth-bound (~19 ms of the BigGAN-128 step, CLAUDE.md
+    profile); halving m's read+write traffic buys throughput at a small,
+    well-understood numerics deviation from the f32 reference recipe.
+    Default None keeps exact f32 parity (update math is f32 either way —
+    optax casts m to the compute dtype inside the update)."""
     del name
-    return optax.adam(learning_rate, b1=beta1, b2=beta2, eps=epsilon)
+    return optax.adam(learning_rate, b1=beta1, b2=beta2, eps=epsilon,
+                      mu_dtype=moment_dtype)
 
 
 @gin.configurable("GradientDescentOptimizer")
