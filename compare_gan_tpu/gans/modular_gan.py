@@ -264,18 +264,26 @@ class ModularGAN(AbstractGAN):
             # g_loss is identical for every loss_lib loss; d_loss/penalty
             # are not consumed from the G sub-step (reference
             # modular_gan.py:586-588) so they are reported as zeros.
-            # Gradient penalties are excluded: their extra D forward in
-            # the concat G step commits one more SN power iteration per
-            # kernel, so skipping it would NOT be state-identical.
-            penalty_fn = gin.query("penalty.fn", penalty_lib.no_penalty)
-            if getattr(penalty_fn, "__gin_name__", None) != "no_penalty":
-                raise ValueError(
-                    "experimental_fake_only_g_loss requires penalty.fn = "
-                    "@no_penalty: a configured penalty's extra D forward "
-                    "in the G sub-step advances spectral-norm u state "
-                    "that the fake-only graph skips.")
+            # Penalties are safely skipped too: their D forwards run under
+            # core.no_state_updates() (_penalty_loss) and only feed d_loss.
+            # The real precondition is a batch-DECOUPLED discriminator:
+            # with batch norm in D, the fake-only batch changes the
+            # normalization moments (and the moving/accu stats committed
+            # from this forward), so we detect batch-stat writes at trace
+            # time and refuse rather than silently diverge.
+            before = set(core._ctx().new_state)
             d_fake, d_fake_logits, _ = self.discriminator(
                 generated, y=sampled_y, is_training=is_training)
+            coupled = sorted(
+                k for k in set(core._ctx().new_state) - before
+                if "moving_" in k or "accu_" in k)
+            if coupled:
+                raise ValueError(
+                    "experimental_fake_only_g_loss requires a discriminator "
+                    "without batch-coupled normalization: this D commits "
+                    f"batch statistics ({coupled[:3]}...) whose values "
+                    "depend on the concat(real, fake) batch the fake-only "
+                    "graph replaces.")
             stop = jax.lax.stop_gradient
             _, _, _, g_loss = loss_lib.get_losses(
                 d_real=stop(d_fake), d_fake=d_fake,
@@ -538,7 +546,13 @@ class ModularGAN(AbstractGAN):
         G weights swapped for their EMA shadows; u_var/accu_* stay."""
         use_ema = self._g_use_ema if use_ema is None else use_ema
         params = dict(ts.params)
-        if use_ema and ts.ema_params:
+        if use_ema:
+            if not ts.ema_params:
+                # An explicit EMA request on a non-EMA checkpoint must not
+                # silently evaluate raw weights as "EMA results".
+                raise ValueError(
+                    "use_ema=True but this TrainState has no EMA shadows "
+                    "(trained with g_use_ema=False).")
             params.update(ts.ema_params)
         return params
 

@@ -289,9 +289,14 @@ def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
                        weight_initializer(stddev=stddev))
         sigma = (spectral_norm_sigma(w, compute_dtype=x.dtype)
                  if use_sn else None)
+        # transpose_kernel=True + HWIO reproduces tf.nn.conv2d_transpose
+        # exactly (spatial flip + I/O swap + SAME pad alignment) for the
+        # (k_h, k_w, C_out, C_in) kernel — verified against TF in
+        # tests/test_arch_ops.py::test_deconv2d_matches_tf_conv2d_transpose.
         out = jax.lax.conv_transpose(
             x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
-            dimension_numbers=("NHWC", "HWOI", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
         if sigma is not None:
             out = out / sigma.astype(out.dtype)
         bias = core.param("bias", (out_ch,), constant_init(0.0))
@@ -507,7 +512,9 @@ def evonorm_s0(x, name="evonorm"):
         v = core.param("v", (c,), ones_init())
         x32 = x.astype(jnp.float32)
         b, h, w, _ = x32.shape
-        groups = min(32, c)
+        # Largest divisor of c that is <= 32 (c=48 -> 24, c=80 -> 20):
+        # groups must tile the channel dim exactly.
+        groups = max(g for g in range(1, min(32, c) + 1) if c % g == 0)
         xg = x32.reshape(b, h, w, groups, c // groups)
         std = jnp.sqrt(jnp.var(xg, axis=(1, 2, 4), keepdims=True) + 1e-5)
         std = jnp.broadcast_to(std, xg.shape).reshape(x32.shape)
@@ -590,7 +597,8 @@ def weight_norm_deconv2d(x, output_dim, k_h, k_w, d_h, d_w, init=False,
         if init and core.is_initializing():
             x_init = jax.lax.conv_transpose(
                 x, v_normed, (d_h, d_w), "SAME",
-                dimension_numbers=("NHWC", "HWOI", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True)
             m_init, scale_init = _weight_norm_gb(init_scale, x_init)
             g = core.param("g", (output_dim,),
                            lambda k, s, d: scale_init.astype(d))
@@ -600,9 +608,11 @@ def weight_norm_deconv2d(x, output_dim, k_h, k_w, d_h, d_w, init=False,
             g = core.param("g", (output_dim,), ones_init())
             b = core.param("b", (output_dim,), zeros_init())
         w = g[None, None, :, None] * v_normed
+        # Same tf.nn.conv2d_transpose lowering as deconv2d above.
         out = jax.lax.conv_transpose(
             x, w, (d_h, d_w), "SAME",
-            dimension_numbers=("NHWC", "HWOI", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
         return out + b[None, None, None, :]
 
 
@@ -649,15 +659,14 @@ def non_local_block(x, name, use_sn):
         g = conv1x1(x, g_ch, name="conv2d_g", use_sn=use_sn, use_bias=False)
         g = _max_pool_2x2(g).reshape(b, (h // 2) * (w // 2), g_ch)
 
+        from compare_gan_tpu.ops import pallas_attention
         if attention_options():
-            from compare_gan_tpu.ops import pallas_attention
             attn_g = pallas_attention.fused_attention(theta, phi, g)
         else:
-            attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
-            # Softmax in f32 for stability under bf16 activations.
-            attn = jax.nn.softmax(attn.astype(jnp.float32),
-                                  axis=-1).astype(x.dtype)
-            attn_g = jnp.einsum("bnm,bmc->bnc", attn, g)
+            # The SAME numerics as the fused kernel (f32 scores, softmax,
+            # AND PV product) so fallback == fused holds bitwise-closely
+            # on every backend — don't reimplement inline.
+            attn_g = pallas_attention.reference_attention(theta, phi, g)
         attn_g = attn_g.reshape(b, h, w, g_ch).astype(x.dtype)
         sigma = core.param("sigma", (), zeros_init())
         attn_g = conv1x1(attn_g, num_channels, name="conv2d_attn_g",

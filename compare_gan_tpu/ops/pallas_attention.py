@@ -22,9 +22,57 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 _INTERPRET = False  # Flipped by tests on the CPU backend.
+
+
+# ---------------------------------------------------------------------------
+# Partitioning: pallas_call is a custom call that GSPMD/Shardy cannot see
+# into — without a rule, jit-over-mesh all-gathers the operands and runs
+# the FULL global-batch attention replicated on every chip. Every operand
+# and result carries the batch on dim 0 and the kernel is independent per
+# example, so we declare batch-dim partitioning (everything else
+# replicated) and lower to the same pallas call on the local shard.
+# ---------------------------------------------------------------------------
+
+
+def _batch_axis(arg_infos):
+    """The mesh axis (or None) that shards dim 0 of the operands."""
+    for info in arg_infos:
+        sharding = getattr(info, "sharding", None)
+        if sharding is not None and len(sharding.spec) and sharding.spec[0]:
+            return sharding.spec[0]
+    return None
+
+
+def _batch_sharded(mesh, arg_infos, n):
+    axis = _batch_axis(arg_infos)
+    return tuple(NamedSharding(mesh, PartitionSpec(axis)) for _ in range(n))
+
+
+def _def_batch_partition(fn, num_results, rule, need_replication,
+                         **factor_sizes):
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        del result_infos
+        shardings = _batch_sharded(mesh, arg_infos, num_results)
+        return shardings if num_results > 1 else shardings[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        res = _batch_sharded(mesh, arg_infos, num_results)
+        args = _batch_sharded(mesh, arg_infos, len(arg_infos))
+        return mesh, fn, (res if num_results > 1 else res[0]), args
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=need_replication,
+                     **factor_sizes)
+    return cp
 
 
 def _row_tile(n):
@@ -183,6 +231,17 @@ def _attention_bwd_pallas(theta, phi, g, dout, mx, den):
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
+# Batch-partitionable entry points (see the partitioning note above). The
+# `s` factor is the size-1 softmax-stats dim, present only in results.
+_fwd_partitioned = _def_batch_partition(
+    _attention_fwd_pallas, 3,
+    "b n c, b m c, b m k -> b n k, b n s, b n s",
+    need_replication=("n", "c", "m", "k", "s"))
+_bwd_partitioned = _def_batch_partition(
+    _attention_bwd_pallas, 3,
+    "b n c, b m c, b m k, b n k, b n s, b n s -> b n c, b m c, b m k",
+    need_replication=("n", "c", "m", "k", "s"))
+
 
 @jax.custom_vjp
 def fused_attention(theta, phi, g):
@@ -190,11 +249,11 @@ def fused_attention(theta, phi, g):
 
     theta: [B, N, C]; phi: [B, M, C]; g: [B, M, Cg] -> [B, N, Cg].
     """
-    return _attention_fwd_pallas(theta, phi, g)[0]
+    return _fwd_partitioned(theta, phi, g)[0]
 
 
 def _fused_fwd(theta, phi, g):
-    out, mx, den = _attention_fwd_pallas(theta, phi, g)
+    out, mx, den = _fwd_partitioned(theta, phi, g)
     # mx/den are [B, N, 1] f32 — negligible HBM vs recomputing the row
     # reductions over the [B, N, M] scores in the backward kernel.
     return out, (theta, phi, g, mx, den)
@@ -202,7 +261,7 @@ def _fused_fwd(theta, phi, g):
 
 def _fused_bwd(residuals, dout):
     theta, phi, g, mx, den = residuals
-    dtheta, dphi, dg = _attention_bwd_pallas(theta, phi, g, dout, mx, den)
+    dtheta, dphi, dg = _bwd_partitioned(theta, phi, g, dout, mx, den)
     return dtheta, dphi.astype(phi.dtype), dg.astype(g.dtype)
 
 

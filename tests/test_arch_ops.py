@@ -39,6 +39,30 @@ class TestLayers:
         assert out.shape == (2, 8, 8, 16)
         assert params["d/kernel"].shape == (4, 4, 16, 3)
 
+    @pytest.mark.parametrize("k,s", [(4, 2), (5, 2), (3, 1)])
+    def test_deconv2d_matches_tf_conv2d_transpose(self, k, s):
+        """deconv2d must reproduce tf.nn.conv2d_transpose exactly for the
+        reference's (k, k, C_out, C_in) kernel layout — spatial flip, I/O
+        swap, and SAME pad alignment (reference arch_ops.py:579-592)."""
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 5, 5, 3).astype(np.float32)
+        out_shape = [2, 5 * s, 5 * s, 6]
+
+        def net(x_):
+            return ops.deconv2d(x_, out_shape, k, k, s, s, name="d")
+
+        _, params, state = core.init(net, jax.random.PRNGKey(0), x)
+        params = dict(params)
+        params["d/kernel"] = rng.randn(k, k, 6, 3).astype(np.float32)
+        params["d/bias"] = np.zeros(6, np.float32)
+        got, _ = core.apply(net, params, state, x)
+        want = tf.nn.conv2d_transpose(
+            x, params["d/kernel"], output_shape=out_shape,
+            strides=[1, s, s, 1], padding="SAME").numpy()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-5)
+
     def test_weight_initializer_gin(self):
         gin.parse_config("weights.initializer = 'orthogonal'")
 

@@ -99,3 +99,38 @@ def test_non_local_block_uses_pallas_when_forced():
     out_pl, _ = core.apply(lambda: block(x), params, {})
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ein),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_partitions_over_batch_mesh():
+    """pallas_call is opaque to GSPMD/Shardy — the custom_partitioning
+    rule must keep batch-sharded operands sharded (fwd AND vjp) instead
+    of all-gathering and replicating the global-batch attention."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rng = np.random.RandomState(0)
+    theta = jax.device_put(rng.randn(8, 64, 12).astype(np.float32), sh)
+    phi = jax.device_put(rng.randn(8, 16, 12).astype(np.float32), sh)
+    g = jax.device_put(rng.randn(8, 16, 48).astype(np.float32), sh)
+
+    out = jax.jit(pallas_attention.fused_attention)(theta, phi, g)
+    assert out.sharding.spec == P("data")
+    ref = pallas_attention.reference_attention(
+        np.asarray(theta), np.asarray(phi), np.asarray(g))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(t, p, gg):
+        return jnp.sum(pallas_attention.fused_attention(t, p, gg) ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(theta, phi, g)
+    for gr in grads:
+        assert gr.sharding.spec == P("data")
+    ref_grads = jax.grad(
+        lambda t, p, gg: jnp.sum(
+            pallas_attention.reference_attention(t, p, gg) ** 2),
+        argnums=(0, 1, 2))(np.asarray(theta), np.asarray(phi),
+                           np.asarray(g))
+    for got, want in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)

@@ -210,14 +210,15 @@ def test_sample_uses_ema_params():
     np.testing.assert_allclose(imgs, 0.5, atol=1e-6)
 
 
-def test_fake_only_g_loss_rejects_penalties():
-    """A gradient penalty's extra D forward commits SN u updates in the
-    concat G step — the fake-only graph must refuse, not silently
-    diverge."""
-    gin.parse_config("penalty.fn = @wgangp_penalty")
-    gan, bs = _make_gan(experimental_fake_only_g_loss=True)
+def test_fake_only_g_loss_rejects_batch_coupled_discriminator():
+    """With batch norm in D the fake-only batch changes the normalization
+    moments and the committed moving stats — must refuse at trace time,
+    not silently diverge."""
+    gin.parse_config("D.batch_norm_fn = @batch_norm")
+    gan, bs = _make_gan(arch="dcgan_arch", batch=2,
+                        experimental_fake_only_g_loss=True)
     ts = gan.init_state(jax.random.PRNGKey(0), bs)
-    with pytest.raises(ValueError, match="no_penalty"):
+    with pytest.raises(ValueError, match="batch-coupled"):
         gan.make_train_step(bs)(ts, _batch(gan, bs))
 
 
@@ -241,14 +242,22 @@ def test_fake_only_g_loss_with_joint_gen_spied():
     assert d_shapes == [bs, 2 * bs, 2 * bs]
 
 
-@pytest.mark.parametrize("arch", ["dummy_arch", "sndcgan_arch"])
-def test_fake_only_g_loss_matches_concat(arch):
+@pytest.mark.parametrize("arch,penalty", [
+    ("dummy_arch", None),
+    ("dummy_arch", "wgangp_penalty"),  # Penalty forwards commit no state
+    # (core.no_state_updates in _penalty_loss) and only feed the G step's
+    # unconsumed d_loss, so fake-only stays exact with penalties too.
+    ("sndcgan_arch", None),
+])
+def test_fake_only_g_loss_matches_concat(arch, penalty):
     """experimental_fake_only_g_loss must be a pure graph optimization for
     batch-decoupled discriminators (no BN): identical g_loss, parameters,
     optimizer state, and op state after training steps (modular_gan
     reference consumes only loss/g from the G step, modular_gan.py:586-588).
     """
     from compare_gan_tpu.gans import optimizers
+    if penalty:
+        gin.parse_config(f"penalty.fn = @{penalty}")
     # SGD, not Adam: Adam normalizes away gradient magnitude, amplifying
     # benign fusion-reassociation noise (~1e-7) into visible parameter
     # differences; with SGD any surviving difference is semantic.
