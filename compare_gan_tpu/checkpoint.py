@@ -106,7 +106,14 @@ def restore_checkpoint(path: str, template):
                     f"Checkpoint {path} is missing leaf {key} — was it "
                     f"written with a different model config?")
             value = data[key]
-            leaves.append(np.asarray(value, dtype=np.asarray(leaf).dtype)
+            target = np.asarray(leaf).dtype
+            if value.dtype != target and value.dtype.kind == "V":
+                # Extension dtypes (bfloat16 & friends) round-trip through
+                # npz as raw void bytes — reinterpret, never value-cast
+                # (np.asarray(void, bfloat16) raises; a cast would be
+                # wrong anyway).
+                value = value.view(target)
+            leaves.append(np.asarray(value, dtype=target)
                           .reshape(np.shape(leaf)))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -124,11 +131,23 @@ class AsyncCheckpointSaver:
         self._keep = keep_checkpoint_max
         self._thread: Optional[threading.Thread] = None
         self._error = None
+        self._next_due = save_checkpoint_steps
+
+    def align(self, step: int) -> None:
+        """Realign the save schedule after a restart: the next save lands
+        on the first multiple of `save_checkpoint_steps` past `step`
+        (reference AsyncCheckpointSaverHook.after_create_session,
+        hooks.py:37-46)."""
+        self._next_due = (step // self._every + 1) * self._every
 
     def should_save(self, step: int) -> bool:
-        return step > 0 and step % self._every == 0
+        # `>=` not `% == 0`: the trainer only asks at chunk boundaries,
+        # which need not hit exact multiples of the save cadence
+        # (hooks.EveryNSteps trigger semantics).
+        return step >= self._next_due
 
     def save(self, tree, step: int, blocking: bool = False) -> None:
+        self.align(step)
         self.join()  # One in-flight save at a time.
         host_tree = jax.tree_util.tree_map(np.asarray, tree)  # D2H now.
 

@@ -47,6 +47,18 @@ def z_generator(shape, distribution_fn=random.uniform, minval=-1.0,
         stddev=stddev, name=name)
 
 
+def _jit_cache(gan) -> dict:
+    """Per-GAN cache for jitted eval fns and the init_state template.
+    continuous_eval evaluates many checkpoints with one `gan`; fresh
+    jitted fn objects per checkpoint would retrace (and re-init) every
+    time — BigGAN-size traces cost minutes over the tunnel."""
+    cache = getattr(gan, "_eval_jit_cache", None)
+    if cache is None:
+        cache = {}
+        gan._eval_jit_cache = cache
+    return cache
+
+
 def _make_sampler(gan, batch_size):
     """Jitted `(params, state, key) -> (images, new_state)`: draws z (and
     labels for conditional GANs) from the key and runs G in eval mode."""
@@ -81,8 +93,9 @@ def _update_bn_accumulators(gan, ts, batch_size, num_accu_examples):
     num_batches = num_accu_examples // batch_size
     base_key = jax.random.PRNGKey(42)
 
-    @jax.jit
-    def fill(params_, state_):
+    def _build_fill():
+      @jax.jit
+      def fill(params_, state_):
         # Weights enter as jit arguments (closure constants would embed
         # hundreds of MB into the HLO program).
         def body(carry_state, i):
@@ -103,7 +116,13 @@ def _update_bn_accumulators(gan, ts, batch_size, num_accu_examples):
         out_state, _ = jax.lax.scan(body, state_, jnp.arange(num_batches))
         return out_state
 
-    state = fill(gan._inference_params(ts), state)
+      return fill
+
+    cache = _jit_cache(gan)
+    key = ("bn_fill", batch_size, num_batches)
+    if key not in cache:
+        cache[key] = _build_fill()
+    state = cache[key](gan._inference_params(ts), state)
     for k in switch_keys:
         state[k] = jnp.zeros_like(state[k])
     return state, True
@@ -161,7 +180,11 @@ def evaluate_checkpoint(gan, checkpoint_path, eval_tasks, batch_size=64,
                         export_accu_checkpoint=True) -> Dict[str, float]:
     """Evaluate one checkpoint (reference evaluate_tfhub_module,
     eval_gan_lib.py:95-212). Returns {metric_{mean,std,list}: value}."""
-    template = gan.init_state(jax.random.PRNGKey(0), batch_size)
+    cache = _jit_cache(gan)
+    if ("template", batch_size) not in cache:
+        cache[("template", batch_size)] = gan.init_state(
+            jax.random.PRNGKey(0), batch_size)
+    template = cache[("template", batch_size)]
     ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
     return _evaluate(gan, ts, eval_tasks, batch_size=batch_size,
                      num_averaging_runs=num_averaging_runs,
@@ -194,7 +217,10 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
         return {}
 
     params = gan._inference_params(ts)
-    sampler = _make_sampler(gan, batch_size)
+    cache = _jit_cache(gan)
+    if ("sampler", batch_size) not in cache:
+        cache[("sampler", batch_size)] = _make_sampler(gan, batch_size)
+    sampler = cache[("sampler", batch_size)]
     base_key = jax.random.PRNGKey(42)
 
     fake_dsets: List[eval_utils.EvalDataSample] = []

@@ -74,32 +74,35 @@ def _tf_frozen_graph_fn(pb_path: str) -> Callable:
     with open(pb_path, "rb") as f:
         graph_def.ParseFromString(f.read())
 
+    # Build the graph and session ONCE — a 50k-image eval calls the
+    # returned fn ~800 times, and a per-call import_graph_def + Session
+    # startup would swamp the actual inference time.
+    graph = tf.Graph()
+    with graph.as_default():
+        tf.import_graph_def(graph_def, name="")
+    pool = graph.get_tensor_by_name("pool_3:0")
+    logits = graph.get_tensor_by_name("logits:0")
+    inp = graph.get_tensor_by_name("Mul:0")
+    sess = tf.compat.v1.Session(graph=graph)
+
     def run(images):
-        with tf.Graph().as_default() as graph:
-            tf.import_graph_def(graph_def, name="")
-            pool = graph.get_tensor_by_name("pool_3:0")
-            logits = graph.get_tensor_by_name("logits:0")
-            inp = graph.get_tensor_by_name("Mul:0")
-            with tf.compat.v1.Session(graph=graph) as sess:
-                pools, logit_out = [], []
-                for i in range(0, len(images), 64):
-                    # tfgan.eval.preprocess_image, which the reference maps
-                    # over inputs before run_inception (eval_utils.py:165-176):
-                    # bilinear resize to 299x299 then (x - 128) / 128 —
-                    # Mul:0 sits *after* the graph's own preprocessing, so
-                    # raw [0,255] dataset-resolution batches would crash on
-                    # non-299 inputs or skew the features.
-                    batch = np.asarray(images[i:i + 64], np.float32)
-                    if batch.shape[1:3] != (299, 299):
-                        from compare_gan_tpu.datasets import (
-                            _resize_bilinear_np)
-                        batch = np.stack([_resize_bilinear_np(im, (299, 299))
-                                          for im in batch])
-                    batch = (batch - 128.0) / 128.0
-                    p, l = sess.run([pool, logits],
-                                    {inp: batch})
-                    pools.append(p.reshape(len(batch), -1))
-                    logit_out.append(l.reshape(len(batch), -1))
+        pools, logit_out = [], []
+        for i in range(0, len(images), 64):
+            # tfgan.eval.preprocess_image, which the reference maps
+            # over inputs before run_inception (eval_utils.py:165-176):
+            # bilinear resize to 299x299 then (x - 128) / 128 —
+            # Mul:0 sits *after* the graph's own preprocessing, so
+            # raw [0,255] dataset-resolution batches would crash on
+            # non-299 inputs or skew the features.
+            batch = np.asarray(images[i:i + 64], np.float32)
+            if batch.shape[1:3] != (299, 299):
+                from compare_gan_tpu.datasets import _resize_bilinear_np
+                batch = np.stack([_resize_bilinear_np(im, (299, 299))
+                                  for im in batch])
+            batch = (batch - 128.0) / 128.0
+            p, l = sess.run([pool, logits], {inp: batch})
+            pools.append(p.reshape(len(batch), -1))
+            logit_out.append(l.reshape(len(batch), -1))
         return np.concatenate(pools), np.concatenate(logit_out)
 
     return run
@@ -110,17 +113,26 @@ def _jax_inception_fn(npz_path: str) -> Callable:
     return inception_net.make_feature_fn(npz_path)
 
 
+_resolved_fns: dict = {}  # path -> fn (weights load + session build once)
+
+
 def get_inception_fn() -> Callable:
     """Resolve the feature extractor (priority: test hook > JAX-on-TPU >
-    TF frozen graph)."""
+    TF frozen graph). Resolved extractors are memoized by path — each
+    build costs a ~90 MB weight load (JAX) or a graph import + session
+    startup (TF), and eval calls this several times per checkpoint."""
     if _inception_fn is not None:
         return _inception_fn
     npz = os.environ.get(INCEPTION_NPZ_ENV)
     if npz and os.path.exists(npz):
-        return _jax_inception_fn(npz)
+        if npz not in _resolved_fns:
+            _resolved_fns[npz] = _jax_inception_fn(npz)
+        return _resolved_fns[npz]
     pb = os.environ.get(INCEPTION_PB_ENV)
     if pb and os.path.exists(pb):
-        return _tf_frozen_graph_fn(pb)
+        if pb not in _resolved_fns:
+            _resolved_fns[pb] = _tf_frozen_graph_fn(pb)
+        return _resolved_fns[pb]
     raise RuntimeError(
         "No Inception feature extractor available. Set "
         f"${INCEPTION_NPZ_ENV} (JAX weights) or ${INCEPTION_PB_ENV} "

@@ -211,7 +211,8 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     if latest and ckpt_lib.step_of(latest) >= max_steps:
         return None  # Nothing to do; skip device init entirely.
 
-    seed = run_config.tf_random_seed or 547
+    seed = (547 if run_config.tf_random_seed is None
+            else run_config.tf_random_seed)
     rng = jax.random.PRNGKey(seed)
     ts = gan.init_state(rng, batch_size)
 
@@ -227,8 +228,9 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     if latest:
         ts = ckpt_lib.restore_checkpoint(latest, ts)
     start_step = int(ts.step)
-    if start_step == 0:
-        # Step-0 checkpoint, like Estimator's on-start save.
+    if start_step == 0 and jax.process_index() == 0:
+        # Step-0 checkpoint, like Estimator's on-start save (host 0 owns
+        # all file writes; other hosts train the same replicated state).
         ckpt_lib.save_checkpoint(model_dir, ts, 0,
                                  run_config.keep_checkpoint_max)
     if start_step >= max_steps:
@@ -247,6 +249,7 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     saver = ckpt_lib.AsyncCheckpointSaver(
         model_dir, run_config.save_checkpoints_steps,
         run_config.keep_checkpoint_max)
+    saver.align(start_step)  # Resume: next save on the next multiple.
     if is_chief:
         _save_operative_config(model_dir, start_step)
 
@@ -352,8 +355,14 @@ def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
         export_path = os.path.join(run_config.model_dir, "tfhub", str(step))
         if not os.path.exists(os.path.join(export_path,
                                            "module_spec.json")):
-            template = gan.init_state(jax.random.PRNGKey(0), batch_size)
-            ts = ckpt_lib.restore_checkpoint(checkpoint_path, template)
+            # Shares evaluate_checkpoint's cached template: one
+            # init_state per gan, not two per checkpoint.
+            cache = eval_gan_lib._jit_cache(gan)
+            if ("template", batch_size) not in cache:
+                cache[("template", batch_size)] = gan.init_state(
+                    jax.random.PRNGKey(0), batch_size)
+            ts = ckpt_lib.restore_checkpoint(
+                checkpoint_path, cache[("template", batch_size)])
             export.export_module(gan, ts, export_path)
         default_value = -1.0
         try:
@@ -375,16 +384,17 @@ def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
 
 def run_with_schedule(schedule, run_config: RunConfig,
                       task_manager: TaskManager, options: Dict,
-                      num_eval_averaging_runs=1, eval_every_steps=-1,
+                      num_eval_averaging_runs=1, eval_every_steps=None,
                       eval_batch_size=64):
     """Train / eval_after_train / continuous_eval (runner_lib.py:280-354)."""
     if schedule not in {"train", "eval_after_train", "continuous_eval"}:
         raise ValueError(f"Schedule {schedule} not supported.")
-    if run_config.tf_random_seed:
+    if run_config.tf_random_seed is not None:
         np.random.seed(run_config.tf_random_seed)
     os.makedirs(os.path.join(run_config.model_dir, "result"), exist_ok=True)
 
-    dataset = datasets.get_dataset(seed=run_config.tf_random_seed or 547)
+    seed = run_config.tf_random_seed
+    dataset = datasets.get_dataset(seed=547 if seed is None else seed)
     gan = options["gan_class"](dataset=dataset, parameters=options,
                                model_dir=run_config.model_dir)
 
@@ -392,7 +402,8 @@ def run_with_schedule(schedule, run_config: RunConfig,
         train(gan, run_config, task_manager,
               batch_size=options["batch_size"],
               max_steps=options["training_steps"])
-        task_manager.mark_training_done()
+        if jax.process_index() == 0:
+            task_manager.mark_training_done()
 
     if schedule == "continuous_eval":
         checkpoints = task_manager.unevaluated_checkpoints(
@@ -400,7 +411,10 @@ def run_with_schedule(schedule, run_config: RunConfig,
     elif schedule == "eval_after_train":
         checkpoints = task_manager.unevaluated_checkpoints(
             eval_every_steps=eval_every_steps)
-    if schedule in {"continuous_eval", "eval_after_train"}:
+    if schedule in {"continuous_eval", "eval_after_train"} \
+            and jax.process_index() == 0:
+        # Evaluation (and scores.csv) is host 0's job, like the
+        # reference's separate single-job eval worker.
         _run_eval(gan, checkpoints=checkpoints, task_manager=task_manager,
                   run_config=run_config, batch_size=eval_batch_size,
                   num_averaging_runs=num_eval_averaging_runs)

@@ -29,6 +29,7 @@ class SummaryWriter:
     def __init__(self, model_dir: str, save_summary_steps: int = 250):
         self._model_dir = model_dir
         self._every = save_summary_steps
+        self._next_due = save_summary_steps
         self._tf_writer = None
         self._jsonl: Optional[object] = None
         os.makedirs(model_dir, exist_ok=True)
@@ -42,7 +43,14 @@ class SummaryWriter:
                 os.path.join(model_dir, "summaries.jsonl"), "a")
 
     def should_write(self, step: int) -> bool:
-        return step % self._every == 0
+        # Due-step trigger, not `% == 0`: the trainer asks only at scan
+        # chunk boundaries, which need not hit exact multiples of the
+        # cadence (default iterations_per_loop=100 vs cadence 250 would
+        # otherwise fire at half rate, non-divisors never).
+        if step >= self._next_due:
+            self._next_due = (step // self._every + 1) * self._every
+            return True
+        return False
 
     def scalar(self, tag: str, value, step: int) -> None:
         value = float(np.asarray(value))

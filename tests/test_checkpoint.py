@@ -66,3 +66,29 @@ def test_async_saver(tmp_path):
     saver.save(_tree(1), 5)
     saver.join()
     assert ckpt_lib.latest_checkpoint(d).endswith("model.ckpt-5.npz")
+
+
+def test_bfloat16_leaves_roundtrip(tmp_path):
+    """bf16 leaves (e.g. AdamOptimizer.moment_dtype='bfloat16' moments)
+    serialize through npz as raw void bytes — restore must reinterpret,
+    not value-cast (np.asarray(void, bfloat16) raises)."""
+    import jax.numpy as jnp
+    tree = {"m": jnp.asarray([1.5, -2.25, 3.0], jnp.bfloat16),
+            "p": jnp.asarray([1.0, 2.0], jnp.float32)}
+    ckpt_lib.save_checkpoint(str(tmp_path), tree, 5)
+    out = ckpt_lib.restore_checkpoint(ckpt_lib.checkpoint_path(str(tmp_path), 5),
+                                  tree)
+    assert np.asarray(out["m"]).dtype == np.asarray(tree["m"]).dtype
+    np.testing.assert_array_equal(np.asarray(out["m"], np.float32),
+                                  np.asarray(tree["m"], np.float32))
+
+
+def test_saver_cadence_at_chunk_boundaries(tmp_path):
+    """should_save must fire at the first chunk boundary past each
+    multiple of the cadence, not only on exact multiples (the trainer
+    asks only at iterations_per_loop boundaries)."""
+    saver = ckpt_lib.AsyncCheckpointSaver(str(tmp_path),
+                                      save_checkpoint_steps=250)
+    fired = [s for s in range(100, 1101, 100)
+             if saver.should_save(s) and (saver.align(s) or True)]
+    assert fired == [300, 500, 800, 1000]

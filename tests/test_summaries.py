@@ -10,12 +10,20 @@ from compare_gan_tpu import summaries as summaries_lib
 
 
 def test_cadence(tmp_path):
+    """Due-step trigger: fires at the first step past each multiple of
+    the cadence (the trainer only asks at chunk boundaries — with
+    iterations_per_loop=100, cadence 250 must fire at 300, 500, 800, ...
+    not only at exact multiples)."""
     w = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=250)
-    assert w.should_write(0)
-    assert not w.should_write(100)
-    assert w.should_write(250)
-    assert w.should_write(500)
+    fired = [s for s in range(100, 1001, 100) if w.should_write(s)]
+    assert fired == [300, 500, 800, 1000]
     w.close()
+
+    w2 = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=250)
+    assert not w2.should_write(100)
+    assert w2.should_write(250)
+    assert w2.should_write(500)
+    w2.close()
 
 
 def test_scalars_and_images_tf_backend(tmp_path):
