@@ -19,6 +19,7 @@ decorator-based registry, kwarg injection at call time, @references,
 from __future__ import annotations
 
 import ast
+import os
 import functools
 import inspect
 import re
@@ -108,10 +109,15 @@ def configurable(name_or_fn=None, *, name: Optional[str] = None,
                         f"Binding {reg_name}.{k} does not match a parameter "
                         f"of {fn.__qualname__} ({list(sig_params)}).")
                 inject[k] = _resolve(v)
-            # Positional args take precedence over injected kwargs.
+            # Positional args take precedence over injected kwargs —
+            # but only parameters that CAN bind positionally count
+            # (keyword-only params after *args keep their bindings).
             if args:
-                pos_names = list(sig_params)[: len(args)]
-                for pn in pos_names:
+                positional = [
+                    n for n, p in sig_params.items()
+                    if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                                  inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+                for pn in positional[: len(args)]:
                     inject.pop(pn, None)
             if inject:
                 with _lock:
@@ -158,7 +164,11 @@ def _wrap_class(cls, reg_name, denylist):
                     f"{cls.__name__}.__init__ ({list(sig_params)}).")
             inject[k] = _resolve(v)
         if args:
-            for pn in list(sig_params)[: len(args)]:
+            positional = [
+                n for n, p in sig_params.items()
+                if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                              inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+            for pn in positional[: len(args)]:
                 inject.pop(pn, None)
         if inject:
             with _lock:
@@ -209,22 +219,27 @@ def add_scope_alias(alias: str, canonical: str) -> None:
         _SCOPE_ALIASES[alias] = canonical
 
 
-def bind(scope_param: str, value: Any) -> None:
-    """bind('ModularGAN.g_lr', 1e-4)"""
+def _resolve_scope(scope_param: str):
+    """(scope, param) with scope aliases applied — dotted scopes resolve
+    by longest registered alias (e.g. 'tf.train.AdamOptimizer.beta1' has
+    scope 'tf.train.AdamOptimizer')."""
     scope, param = scope_param.rsplit(".", 1)
-    # Dotted scopes: longest registered alias wins (e.g. the scope of
-    # 'tf.train.AdamOptimizer.beta1' is 'tf.train.AdamOptimizer').
     for alias in sorted(_SCOPE_ALIASES, key=len, reverse=True):
         if scope_param.startswith(alias + "."):
-            scope = _SCOPE_ALIASES[alias]
-            param = scope_param[len(alias) + 1:]
-            break
+            return _SCOPE_ALIASES[alias], scope_param[len(alias) + 1:]
+    return scope, param
+
+
+def bind(scope_param: str, value: Any) -> None:
+    """bind('ModularGAN.g_lr', 1e-4)"""
+    scope, param = _resolve_scope(scope_param)
     with _lock:
         _BINDINGS.setdefault(scope, {})[param] = value
 
 
 def query(scope_param: str, default=None):
-    scope, param = scope_param.rsplit(".", 1)
+    # Same alias resolution as bind(), else aliased reads silently miss.
+    scope, param = _resolve_scope(scope_param)
     b = _BINDINGS.get(scope, {})
     if param in b:
         return _resolve(b[param])
@@ -248,6 +263,7 @@ def clear_config() -> None:
 
 _TOKEN_REF = re.compile(r"@[A-Za-z_][\w./]*(\(\))?")
 _TOKEN_MACRO = re.compile(r"%[A-Za-z_][\w.]*")
+_STRING_LIT = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
 
 
 class _ConfigTransformer(ast.NodeTransformer):
@@ -280,13 +296,24 @@ def _parse_value(text: str):
         placeholders[key] = _Macro(m.group(0)[1:])
         return key
 
-    # Avoid rewriting inside string literals: cheap approach — parse with
-    # literal_eval first; fall back to token substitution.
+    # Avoid rewriting inside string literals: values with no refs at all
+    # short-circuit through literal_eval; otherwise string literals are
+    # masked out before the @/% token substitution so a list like
+    # ["a@b.com", @hinge] keeps its string element intact.
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):
         pass
-    replaced = _TOKEN_MACRO.sub(sub_macro, _TOKEN_REF.sub(sub_ref, text))
+    strings: list = []
+
+    def mask_str(m):
+        strings.append(m.group(0))
+        return f"__str_{len(strings) - 1}__"
+
+    masked = _STRING_LIT.sub(mask_str, text)
+    replaced = _TOKEN_MACRO.sub(sub_macro, _TOKEN_REF.sub(sub_ref, masked))
+    for i, s in enumerate(strings):
+        replaced = replaced.replace(f"__str_{i}__", s)
     try:
         tree = ast.parse(replaced, mode="eval")
     except SyntaxError as e:
@@ -301,21 +328,59 @@ def _parse_value(text: str):
         return eval(code, {"__builtins__": {}})  # noqa: S307 (literals only)
 
 
-def parse_config(text: str) -> None:
+def _scan_line(line: str):
+    """(text-before-any-comment, open-bracket balance), both computed with
+    string-literal awareness so '#', '(' etc. inside quoted values don't
+    truncate the line or derail continuation tracking."""
+    balance = 0
+    quote = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "#":
+            return line[:i], balance
+        elif ch in "([{":
+            balance += 1
+        elif ch in ")]}":
+            balance -= 1
+        i += 1
+    return line, balance
+
+
+def parse_config(text: str, base_dir: Optional[str] = None) -> None:
     """Parse gin-format text: `scope.param = value`, `macro = value`,
-    `import x` (ignored), comments."""
+    `import x` (ignored — module side effects only), `include 'f.gin'`
+    (parsed recursively, relative to `base_dir`), comments."""
     buf = ""
+    balance = 0
     for raw in text.splitlines():
-        line = raw.split("#", 1)[0].rstrip()
+        line, line_balance = _scan_line(raw)
         if not line.strip():
             continue
         buf = (buf + " " + line.strip()) if buf else line.strip()
-        # Continue accumulating if brackets are unbalanced.
-        if (buf.count("(") > buf.count(")") or buf.count("[") > buf.count("]")
-                or buf.count("{") > buf.count("}")):
+        balance += line_balance
+        if balance > 0:  # Bracket continuation.
             continue
-        stmt, buf = buf, ""
-        if stmt.startswith("import ") or stmt.startswith("include "):
+        stmt, buf, balance = buf, "", 0
+        if stmt.startswith("import "):
+            continue
+        if stmt.startswith("include"):
+            m = re.match(r"include\s+['\"](.+?)['\"]\s*$", stmt)
+            if not m:
+                raise ConfigError(f"Bad include line: {stmt!r}")
+            path = m.group(1)
+            if not os.path.isabs(path) and base_dir:
+                path = os.path.join(base_dir, path)
+            with open(path) as f:
+                parse_config(f.read(), base_dir=os.path.dirname(path))
             continue
         if "=" not in stmt:
             raise ConfigError(f"Bad config line: {stmt!r}")
@@ -333,7 +398,8 @@ def parse_config(text: str) -> None:
 def parse_config_files_and_bindings(files=None, bindings=None) -> None:
     for path in files or []:
         with open(path) as f:
-            parse_config(f.read())
+            parse_config(f.read(),
+                         base_dir=os.path.dirname(os.path.abspath(path)))
     for b in bindings or []:
         parse_config(b)
 

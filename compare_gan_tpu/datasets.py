@@ -87,7 +87,12 @@ class FakeSource:
         import hashlib
         key = int.from_bytes(
             hashlib.sha256(f"{split}/{seed}".encode()).digest()[:8], "little")
-        rng = np.random.Generator(np.random.Philox(key=key, counter=index))
+        # Fold the index into the KEY, not the counter: counter=index
+        # starts record i at counter block i, so consecutive records
+        # would read overlapping blocks of one stream (near-duplicate
+        # images shifted by one element).
+        key = (key ^ (index * 0x9E3779B97F4A7C15)) % (2 ** 63)
+        rng = np.random.Generator(np.random.Philox(key=key))
         image = rng.random(self._shape, dtype=np.float32)
         label = int(rng.integers(0, self._num_classes or 1))
         return image, label
@@ -548,7 +553,10 @@ class ImageDatasetV2:
             if filter_fn is not None and not filter_fn(image, label):
                 return None
             image, label = transform(image, label, seed, rng)
-            if self._label_map_fn is not None:
+            if self._label_map_fn is not None and split == "train":
+                # Label replacement (single/random/soft variants) is a
+                # TRAIN-pipeline stage (reference datasets.py:552-617);
+                # sidecar rows are keyed by train indices.
                 label = self._label_map_fn(label, idx, rng)
             return image, label
 
@@ -664,15 +672,23 @@ class ImageDatasetV2:
         tiling 1→3 channels. With failure_on_insufficient_examples=False
         returns however many are available (accuracy.py:75-79 uses
         this for the train split)."""
+        split = self._resolve_eval_split(split or self._eval_split)
         out = []
-        for batch in self.eval_input_fn(batch_size=min(64, num_samples),
-                                        split=split):
-            out.append(batch["images"])
-            if sum(len(b) for b in out) >= num_samples:
+        # Per-example like the reference's get_real_images (its eval ds is
+        # unbatched there, eval_utils.py:110-130): a batched stream would
+        # drop the remainder and under-deliver for any split size that is
+        # not a batch multiple (e.g. cifar10's 10000 vs batch 64).
+        it = self._iter_examples(split, shuffle=False, repeat=False,
+                                 transform=self._eval_transform,
+                                 seed=self._seed)
+        for image, _ in it:
+            out.append(image)
+            if len(out) >= num_samples:
+                it.close()
                 break
         if not out:
             raise ValueError(f"No eval images for {self._name}.")
-        images = np.concatenate(out, 0)[:num_samples] * 255.0
+        images = np.stack(out)[:num_samples] * 255.0
         if images.shape[-1] == 1:
             images = np.tile(images, (1, 1, 1, 3))
         if len(images) < num_samples and failure_on_insufficient_examples:
@@ -690,27 +706,48 @@ def _prefetch(it, depth):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
     error: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                # Bounded put with a stop check: a consumer that abandons
+                # the stream (e.g. load_eval_images taking N images)
+                # closes the generator below, and the worker must unwind
+                # — not block on a full queue forever, pinning the decode
+                # pool and buffered batches.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    break
         except BaseException as e:  # Surface in the consumer, not silence.
             error.append(e)
         finally:
-            q.put(done)
+            if hasattr(it, "close"):
+                it.close()
+            try:
+                q.put_nowait(done)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
 
     def gen():
-        while True:
-            item = q.get()
-            if item is done:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
     return gen()
 

@@ -28,6 +28,12 @@ def make_mesh(num_devices: Optional[int] = None,
     data = total/∏(extra) and extra axes follow."""
     devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"Requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available — refusing to "
+                f"silently train on a narrower mesh (global-batch "
+                f"semantics would change).")
         devices = devices[:num_devices]
     n = len(devices)
     extra = math.prod(s for _, s in extra_axes) if extra_axes else 1

@@ -135,3 +135,36 @@ class TestConfig:
         gin.parse_config("test_fn.a = 10")
         assert gin.query("test_fn.a") == 10
         assert gin.query("test_fn.zz", default=3) == 3
+
+
+def test_parse_string_literals_with_special_chars():
+    """'#', '(' and '@' inside quoted values must not truncate the line,
+    derail bracket continuation, or get token-substituted."""
+    gin.parse_config('a = "run #1"')
+    assert gin._MACROS["a"] == "run #1"
+    gin.parse_config('b = "foo (bar"\nc = 3')
+    assert gin._MACROS["b"] == "foo (bar" and gin._MACROS["c"] == 3
+    gin.parse_config('d = ["x@y.com", %c]')
+    assert gin._MACROS["d"][0] == "x@y.com"
+
+
+def test_include_parses_base_config(tmp_path):
+    (tmp_path / "base.gin").write_text("foo = 7\n")
+    (tmp_path / "main.gin").write_text("include 'base.gin'\nbar = 8\n")
+    gin.parse_config_files_and_bindings([str(tmp_path / "main.gin")])
+    assert gin._MACROS["foo"] == 7 and gin._MACROS["bar"] == 8
+
+
+def test_query_applies_scope_aliases():
+    import compare_gan_tpu.gans.optimizers  # noqa: F401 (registers aliases)
+    gin.parse_config("tf.train.AdamOptimizer.beta1 = 0.5")
+    assert gin.query("tf.train.AdamOptimizer.beta1") == 0.5
+    assert gin.query("AdamOptimizer.beta1") == 0.5
+
+
+def test_keyword_only_binding_survives_positional_args():
+    @gin.configurable("kwonly_fn_test")
+    def f(a, *xs, opt=1):
+        return opt
+    gin.parse_config("kwonly_fn_test.opt = 5")
+    assert f(1, 2, 3) == 5

@@ -122,3 +122,46 @@ def test_lsun_eval_reads_train_shards(tmp_path, monkeypatch):
     # Holdout examples (idx % 100 == 99) are disjoint from training ones.
     tr = next(ds.train_input_fn(batch_size=2))
     assert not np.array_equal(ev["images"], tr["images"])
+
+
+def test_load_eval_images_not_batch_multiple(tmp_path, monkeypatch):
+    """Split sizes that are not batch multiples must still deliver every
+    example (reference get_real_images reads the eval stream unbatched,
+    eval_utils.py:110-130): 100 examples, 70 requested > one 64-batch."""
+    rng = np.random.RandomState(0)
+    d = tmp_path / "cifar10"
+    d.mkdir(parents=True)
+    np.savez(d / "test.npz",
+             images=rng.randint(0, 255, size=(100, 32, 32, 3),
+                                dtype=np.uint8),
+             labels=np.zeros(100, np.int64))
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("cifar10")
+    imgs = ds.load_eval_images(70)
+    assert imgs.shape == (70, 32, 32, 3)
+
+
+def test_fake_source_images_decorrelated():
+    """Consecutive fake records must be independent draws, not shifted
+    windows of one Philox stream (index folds into the key)."""
+    src = datasets.FakeSource(shape=(8, 8, 3), num_classes=10)
+    a, _ = src.get("train", 0, seed=1)
+    b, _ = src.get("train", 1, seed=1)
+    # Shifted-window overlap would make flattened streams nearly equal
+    # up to an offset; independent draws share no long common run.
+    fa, fb = a.ravel(), b.ravel()
+    assert not np.allclose(fa[1:], fb[:-1])
+    assert abs(np.corrcoef(fa, fb)[0, 1]) < 0.2
+
+
+def test_label_map_applies_to_train_only(tmp_path, monkeypatch):
+    """Label replacement is a train-pipeline stage (reference
+    datasets.py:552-617) — eval streams keep original labels."""
+    datasets.set_fake_dataset(True)
+    ds = datasets.get_dataset("soft_labeled_imagenet_128")
+    tr = next(ds.train_input_fn(4))
+    assert tr["labels"].ndim == 2  # soft labels: per-class vectors
+    ev = next(ds.eval_input_fn(4))
+    assert ev["labels"].ndim == 1  # eval keeps original int labels
+    assert ev["labels"].dtype == np.int32
