@@ -91,18 +91,16 @@ class BigGanDeepResNetBlock:
             with core.scope("conv4"):
                 outputs = bn(outputs, name="bn")
                 outputs = jax.nn.relu(outputs)
-                if self._scale == "down" and resnet_ops.fusion_options():
-                    # pool∘1x1conv == 1x1conv∘pool (both linear): fuse to
-                    # one stride-2 conv (down_conv2d computes conv-then-
-                    # pool, identical for 1x1 kernels).
-                    outputs = ops.down_conv2d(
-                        outputs, self._out_channels, 1, 1, name="1x1_conv",
-                        use_sn=self._spectral_norm)
-                else:
-                    if self._scale == "down":
-                        outputs = resnet_ops.avg_pool_2x2(outputs)
-                    outputs = conv1x1(outputs, self._out_channels,
-                                      name="1x1_conv")
+                # Reference order: pool THEN 1x1 conv (resnet_biggan_deep
+                # .py:120-180). For a 1x1 kernel this is also the cheap
+                # order (conv on a quarter of the pixels); the fused
+                # stride-2 form would compute conv-then-pool, which is
+                # equal only in exact arithmetic — keep the reference's
+                # ordering so the fusion toggle stays bit-exact.
+                if self._scale == "down":
+                    outputs = resnet_ops.avg_pool_2x2(outputs)
+                outputs = conv1x1(outputs, self._out_channels,
+                                  name="1x1_conv")
             return outputs + self._shortcut(inputs)
 
 

@@ -115,6 +115,17 @@ class ModularGAN(AbstractGAN):
         # a concatenated convolution). Exactness is asserted by
         # tests/test_trainer.py::test_fake_only_g_loss_matches_concat.
         self._experimental_fake_only_g_loss = experimental_fake_only_g_loss
+        if experimental_fake_only_g_loss:
+            import inspect
+            if "g_step" not in inspect.signature(
+                    self.create_loss).parameters:
+                # SSGAN/S3GAN override create_loss without the fast path;
+                # the kwarg-filtered dispatch would silently drop g_step
+                # and run the full concat graph while claiming the
+                # optimization is on.
+                raise ValueError(
+                    f"{type(self).__name__}.create_loss does not support "
+                    "experimental_fake_only_g_loss (no g_step parameter).")
         # Unrolled semantics are the only semantics in this rebuild.
         del experimental_force_graph_unroll
         self._g_use_ema = g_use_ema

@@ -191,11 +191,11 @@ class S3GAN(modular_gan.ModularGAN):
             d_real_logits=logits_real[:bs],
             d_fake_logits=logits_fake[:bs])
 
-        penalty_loss = self._penalty_loss(real_images, fake_images,
-                                          real_labels, is_training)
-        d_loss = d_loss + self._lambda * penalty_loss
-
-        metrics = {"penalty_loss": penalty_loss}
+        # NOTE: unlike SSGAN (reference ssgan.py:191-194), the reference
+        # S3GAN.create_loss applies NO gradient penalty (s3gan.py:195-321
+        # never calls penalty_lib) — adding one here would change training
+        # dynamics vs the reference's recipes.
+        metrics = {"penalty_loss": jnp.zeros((), jnp.float32)}
 
         if self._self_supervision == "rotation":
             rot_real_logits, rot_fake_logits = jnp.split(rot_logits, 2)

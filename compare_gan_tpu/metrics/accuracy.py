@@ -11,7 +11,6 @@ import jax
 import numpy as np
 
 from compare_gan_tpu import core
-from compare_gan_tpu.ops import rng as random
 from compare_gan_tpu.metrics import eval_task
 
 
@@ -42,8 +41,21 @@ class AccuracyTask(eval_task.EvalTask):
                 f"num_train {train_images.shape[0]} must be larger than "
                 f"num_test {test_images.shape[0]}.")
 
-        d_fn = jax.jit(lambda images, labels=None:
-                       gan.discriminate(ts, images, labels)[0])
+        # Params/state enter as jit ARGUMENTS — a closure over ts would
+        # bake the discriminator weights into the HLO (the axon >50 MB
+        # program limit; same fix as metrics/gilbo.py).
+        @jax.jit
+        def _d(params, state, images):
+            def fwd():
+                return gan.discriminator(images, y=None,
+                                         is_training=False)[0]
+            out, _ = core.apply(fwd, params, state)
+            return out
+
+        def d_fn(images):
+            return np.asarray(_d(ts.params, ts.state,
+                                 np.asarray(images, np.float32)))
+
         sampler_key = jax.random.PRNGKey(seed)
 
         def bce(pred, label):
@@ -53,7 +65,7 @@ class AccuracyTask(eval_task.EvalTask):
         rng = np.random.default_rng(seed)
         num_batches = len(test_images) // batch_size
         ret = {k: [] for k in self.metric_list()}
-        for _ in range(num_repeat):
+        for rep in range(num_repeat):
             idx = rng.choice(len(train_images), len(test_images))
             train_subset = train_images[idx]
             accs = {"train": [], "test": [], "fake": []}
@@ -62,11 +74,11 @@ class AccuracyTask(eval_task.EvalTask):
                 sl = slice(i * batch_size, (i + 1) * batch_size)
                 test_p = np.asarray(d_fn(test_images[sl] / 255.0))
                 train_p = np.asarray(d_fn(train_subset[sl] / 255.0))
-                with random.rng_context(
-                        jax.random.fold_in(sampler_key, i)):
-                    pass
+                # Fresh z per (repeat, batch) — keying on i alone would
+                # make every repeat score identical fake samples.
                 z = np.asarray(jax.random.uniform(
-                    jax.random.fold_in(sampler_key, i),
+                    jax.random.fold_in(
+                        jax.random.fold_in(sampler_key, rep), i),
                     (batch_size, gan.z_dim), minval=-1.0, maxval=1.0))
                 fakes, _ = gan.sample(ts, z)
                 fake_p = np.asarray(d_fn(np.asarray(fakes)))

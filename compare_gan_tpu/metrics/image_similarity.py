@@ -63,7 +63,11 @@ def _ssim_per_scale(img1, img2, max_val=255.0, filter_size=11,
     c2 = (k2 * max_val) ** 2
     v1 = 2.0 * sigma12 + c2
     v2 = sigma11 + sigma22 + c2
-    axes = (1, 2, 3)
+    # Per-CHANNEL means [N, C]: the reference combines the weighted
+    # geometric product per channel and averages over channels only after
+    # the final product (image_similarity.py:323-333) — averaging earlier
+    # changes the result whenever channels have different statistics.
+    axes = (1, 2)
     ssim = jnp.mean(((2.0 * mu12 + c1) * v1) / ((mu11 + mu22 + c1) * v2),
                     axis=axes)
     cs = jnp.mean(v1 / v2, axis=axes)
@@ -93,11 +97,12 @@ def multiscale_ssim(img1, img2, max_val=255.0, levels=5):
             img1 = _downsample_2x(img1)
             img2 = _downsample_2x(img2)
     mcs = jnp.stack(mcs[:-1])  # Last level contributes via ssim term.
-    return (jnp.prod(mcs ** weights[:-1, None], axis=0)
-            * jnp.maximum(ssim, 0.0) ** weights[-1])
+    per_channel = (jnp.prod(mcs ** weights[:-1, None, None], axis=0)
+                   * jnp.maximum(ssim, 0.0) ** weights[-1])  # [N, C]
+    return jnp.mean(per_channel, axis=-1)
 
 
 def ssim(img1, img2, max_val=255.0):
-    """Single-scale SSIM, [N]."""
-    return _ssim_per_scale(jnp.asarray(img1), jnp.asarray(img2),
-                           max_val=max_val)[0]
+    """Single-scale SSIM, [N] (channel-averaged)."""
+    return jnp.mean(_ssim_per_scale(jnp.asarray(img1), jnp.asarray(img2),
+                                    max_val=max_val)[0], axis=-1)

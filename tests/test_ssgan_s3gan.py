@@ -96,3 +96,15 @@ def test_s3gan_predictor_requires_projection():
                           "lambda": 1}, conditional=True,
               rotated_batch_fraction=2, project_y=False,
               use_predictor=True)
+
+
+def test_fake_only_g_loss_rejected_by_subclasses():
+    """SSGAN/S3GAN override create_loss without the fast path — the flag
+    must be refused at construction, not silently dropped by the
+    kwarg-filtered dispatch."""
+    ds = datasets.get_dataset("cifar10")
+    with pytest.raises(ValueError, match="g_step"):
+        SSGAN(dataset=ds, model_dir="/tmp/ssgan_fake_only",
+              parameters={"architecture": "dummy_arch", "z_dim": 8,
+                          "lambda": 1, "disc_iters": 1},
+              experimental_fake_only_g_loss=True)
