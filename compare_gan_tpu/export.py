@@ -18,14 +18,23 @@ import os
 from typing import Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from compare_gan_tpu import core
 
 
 def export_module(gan, ts, export_dir: str) -> str:
-    """Write <export_dir>/{module.npz, module_spec.json}."""
+    """Write <export_dir>/{module.npz, module_spec.json,
+    export_config.gin}. The gin snapshot is what makes the export
+    self-contained: the architecture code re-runs at load time, and its
+    gin knobs (G.batch_norm_fn, G/D.spectral_norm, BigGAN channel/
+    attention options, ...) define the network — without them a
+    configured model would silently rebuild with defaults."""
+    from compare_gan_tpu import config as gin
     os.makedirs(export_dir, exist_ok=True)
+    with open(os.path.join(export_dir, "export_config.gin"), "w") as f:
+        f.write(gin.config_str())
     params = gan._inference_params(ts)
     arrays = {}
     for prefix, tree in [("params", params), ("state", ts.state)]:
@@ -49,13 +58,25 @@ def export_module(gan, ts, export_dir: str) -> str:
 
 
 def _load(export_dir: str):
+    from compare_gan_tpu import config as gin
     with open(os.path.join(export_dir, "module_spec.json")) as f:
         spec = json.load(f)
+    # Re-apply the training gin config so the rebuilt architecture has
+    # the exported network's structure (injection happens lazily at
+    # forward time, so the bindings must be live, not restored away).
+    cfg = os.path.join(export_dir, "export_config.gin")
+    if os.path.exists(cfg):
+        with open(cfg) as f:
+            gin.parse_config(f.read())
     params, state = {}, {}
     with np.load(os.path.join(export_dir, "module.npz")) as data:
         for k in data.files:
             kind, name = k.split("/", 1)
             (params if kind == "params" else state)[name] = data[k]
+    # Device arrays once at load: NumPy jit arguments would re-upload
+    # the full weight set on every generate()/discriminate() call.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
     return spec, params, state
 
 
@@ -109,7 +130,12 @@ def export_saved_model(gan, ts, export_dir: str,
     params = gan._inference_params(ts)
     state = dict(ts.state)
 
-    def generate(z, labels):
+    # Weights enter the converted fn as ARGUMENTS and live in the
+    # SavedModel as shared tf.Variables: a closure would embed a full
+    # copy of every weight as graph constants in EACH batch-size
+    # concrete function (~4x158M params for BigGAN-128, over protobuf's
+    # 2 GB limit).
+    def generate(params, state, z, labels):
         def fwd():
             y = (gan._get_one_hot_labels(labels)
                  if gan.conditional else None)
@@ -118,16 +144,24 @@ def export_saved_model(gan, ts, export_dir: str,
         images, _ = core.apply(fwd, params, state)
         return images
 
+    converted = jax2tf.convert(generate, with_gradient=False)
     module = tf.Module()
+    module.params = jax.tree_util.tree_map(
+        lambda v: tf.Variable(np.asarray(v), trainable=False), params)
+    module.state = jax.tree_util.tree_map(
+        lambda v: tf.Variable(np.asarray(v), trainable=False), state)
     signatures = {}
     for bs in batch_sizes:
-        tf_fn = tf.function(
-            jax2tf.convert(generate, with_gradient=False),
-            autograph=False,
-            input_signature=[
+        def make_fn(bs=bs):
+            @tf.function(autograph=False, input_signature=[
                 tf.TensorSpec([bs, gan.z_dim], tf.float32, name="z"),
                 tf.TensorSpec([bs], tf.int32, name="labels"),
             ])
+            def fn(z, labels):
+                return converted(module.params, module.state, z, labels)
+            return fn
+
+        tf_fn = make_fn()
         setattr(module, f"generate_bs{bs}", tf_fn)
         signatures[f"gen_bs{bs}"] = tf_fn.get_concrete_function()
     tf.saved_model.save(module, export_dir, signatures=signatures)

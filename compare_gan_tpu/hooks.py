@@ -30,6 +30,8 @@ class EveryNSteps:
         return step >= self._last_triggered + self._every
 
     def mark_triggered(self, step: int) -> None:
+        if self._every <= 0:
+            return  # Disabled (should_trigger never fires).
         # Align to the previous multiple so a restart mid-interval keeps
         # the original cadence (reference hooks.py:37-46 realignment).
         self._last_triggered = (step // self._every) * self._every

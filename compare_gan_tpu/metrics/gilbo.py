@@ -118,20 +118,26 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     217-298)."""
     z_dim = gan.z_dim
     key = jax.random.PRNGKey(seed)
+    # Disjoint key domains: a single flat fold_in space collided (train
+    # step 997's key == the self-consistency key; eval keys reused train
+    # keys past 9998 steps), so metrics were evaluated on batches the
+    # regressor had trained on.
+    init_key, train_key, eval_key, sc_key = (
+        jax.random.fold_in(key, d) for d in range(4))
     tx = optax.adam(learning_rate)
     (fwd, gen, train_step, gilbo_batch, encode_mode,
      reencode_logq) = _make_gilbo_steps(gan, z_dim, batch_size, tx)
 
-    _, x0 = gen(ts, jax.random.fold_in(key, 0))
-    _, params, _ = core.init(fwd, jax.random.fold_in(key, 1), x0)
+    _, x0 = gen(ts, jax.random.fold_in(init_key, 0))
+    _, params, _ = core.init(fwd, jax.random.fold_in(init_key, 1), x0)
     opt_state = tx.init(params)
 
     for i in range(train_steps):
         params, opt_state, _ = train_step(
-            ts, params, opt_state, jax.random.fold_in(key, 2 + i))
+            ts, params, opt_state, jax.random.fold_in(train_key, i))
 
     gilbo = float(np.mean([
-        gilbo_batch(ts, params, jax.random.fold_in(key, 10_000 + i))
+        gilbo_batch(ts, params, jax.random.fold_in(eval_key, i))
         for i in range(eval_batches)]))
 
     def consistency(images):
@@ -151,7 +157,7 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
         return float(np.mean(vals)) if vals else float("nan")
 
     def self_consistency():
-        _, x = gen(ts, jax.random.fold_in(key, 999))
+        _, x = gen(ts, sc_key)
         z1 = encode_mode(params, x)
         return float(reencode_logq(ts, params, z1))
 

@@ -22,13 +22,38 @@ extern "C" {
 // TFRecord format: [len:u64le][crc(len):u32][payload][crc(payload):u32]
 // --------------------------------------------------------------------------
 
-// Number of records in the file, or -1 on error.
+// Sanity bound on one record: a corrupt u64 length with high bits set
+// would otherwise cast to a negative seek (backwards -> infinite loop)
+// or walk past EOF counting garbage.
+static const uint64_t kMaxRecordBytes = 1ull << 31;  // 2 GB
+
+static bool record_fits(FILE* f, uint64_t len, long file_size) {
+  if (len > kMaxRecordBytes) return false;
+  long pos = std::ftell(f);
+  if (pos < 0) return false;
+  // pos is just past the length header; the length crc (4), payload,
+  // and payload crc (4) must fit in the remaining bytes.
+  return static_cast<uint64_t>(file_size - pos) >= len + 8;
+}
+
+static long file_size_of(FILE* f) {
+  long cur = std::ftell(f);
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, cur, SEEK_SET);
+  return size;
+}
+
+// Number of records in the file, or -1 on error. Truncated or corrupt
+// trailing records are not counted.
 int64_t tfrecord_count(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  const long size = file_size_of(f);
   int64_t count = 0;
   uint64_t len;
   while (std::fread(&len, 8, 1, f) == 1) {
+    if (!record_fits(f, len, size)) break;
     if (std::fseek(f, static_cast<long>(len) + 8, SEEK_CUR) != 0) break;
     ++count;
   }
@@ -41,11 +66,13 @@ int64_t tfrecord_count(const char* path) {
 int64_t tfrecord_index(const char* path, int64_t* offsets, int64_t max) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  const long size = file_size_of(f);
   int64_t count = 0;
   uint64_t len;
   while (count < max) {
     long pos = std::ftell(f);
     if (std::fread(&len, 8, 1, f) != 1) break;
+    if (!record_fits(f, len, size)) break;  // Truncated/corrupt tail.
     offsets[count++] = pos;
     if (std::fseek(f, static_cast<long>(len) + 8, SEEK_CUR) != 0) break;
   }

@@ -71,9 +71,12 @@ class SummaryWriter:
         """8x8 sample grid (modular_gan.py:308-343). `images` [N,H,W,C] in
         [0,1]; only the first gh*gw are used."""
         images = np.asarray(images)
-        n = min(len(images), grid_shape[0] * grid_shape[1])
-        grid = utils.image_grid(images[:n], grid_shape=None if n < 64 else
-                                grid_shape)
+        cells = grid_shape[0] * grid_shape[1]
+        n = min(len(images), cells)
+        # Honor the requested shape whenever it is filled; auto-square
+        # only for partial grids.
+        grid = utils.image_grid(images[:n],
+                                grid_shape=None if n < cells else grid_shape)
         if self._tf_writer is not None:
             with self._tf_writer.as_default():
                 self._tf.summary.image(

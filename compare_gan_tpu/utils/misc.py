@@ -56,8 +56,10 @@ def image_grid(images, grid_shape=None):
         gh = int(math.ceil(n / gw))
     else:
         gh, gw = grid_shape
+        if n > gh * gw:
+            images, n = images[:gh * gw], gh * gw  # Only first gh*gw used.
     pad = gh * gw - n
-    if pad:
+    if pad > 0:
         images = np.concatenate(
             [images, np.zeros((pad, h, w, c), images.dtype)], 0)
     return (images.reshape(gh, gw, h, w, c)
@@ -93,12 +95,20 @@ def gaussian(batch_size, n_dim, mean=0.0, var=1.0):
 
 def get_parameter_overview(params: Dict[str, jax.Array],
                            include_stats: bool = False) -> str:
-    """Markdown-ish table of variables (compare_gan/utils.py:99-175)."""
+    """Markdown-ish table of variables (compare_gan/utils.py:99-175);
+    include_stats adds per-variable mean/std columns like the
+    reference."""
     rows, total = [], 0
     for name in sorted(params):
         v = params[name]
         n = int(np.prod(v.shape)) if v.shape else 1
         total += n
-        rows.append(f"| {name} | {tuple(v.shape)} | {n} |")
-    header = "| Name | Shape | Size |\n|---|---|---|\n"
+        row = f"| {name} | {tuple(v.shape)} | {n} |"
+        if include_stats:
+            arr = np.asarray(v, np.float64)
+            row += f" {arr.mean():.3g} | {arr.std():.3g} |"
+        rows.append(row)
+    header = ("| Name | Shape | Size | Mean | Std |\n|---|---|---|---|---|\n"
+              if include_stats else
+              "| Name | Shape | Size |\n|---|---|---|\n")
     return header + "\n".join(rows) + f"\n\nTotal: {total:,}"

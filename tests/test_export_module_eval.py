@@ -54,3 +54,39 @@ def test_conditional_export_loaders(tmp_path):
     discriminate, _ = export.load_discriminator(d)
     pred, logits, _ = discriminate(imgs, labels=np.array([1, 2]))
     assert logits.shape == (2, 1)
+
+
+def test_export_restores_gin_configured_architecture(tmp_path):
+    """The export must be self-contained: a model trained with gin knobs
+    (spectral norm here) must reload identically in a process with NO gin
+    config — export_config.gin is re-applied at load. Without it the
+    architecture silently rebuilds with defaults (no SN) and produces
+    different images from the same weights."""
+    from compare_gan_tpu import config as gin
+    from compare_gan_tpu import datasets
+    from compare_gan_tpu.gans.modular_gan import ModularGAN
+    import jax
+
+    gin.parse_config("G.spectral_norm = True\nD.spectral_norm = True")
+    datasets.set_fake_dataset(True)
+    ds = datasets.get_dataset("cifar10")
+    gan = ModularGAN(dataset=ds, model_dir=str(tmp_path),
+                     parameters={"architecture": "sndcgan_arch",
+                                 "z_dim": 8, "lambda": 1, "disc_iters": 1})
+    bs = 2
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    rng = np.random.RandomState(0)
+    total = bs * gan.num_sub_steps
+    ts, _ = step(ts, {"images": rng.rand(total, 32, 32, 3).astype(np.float32),
+                      "labels": rng.randint(0, 10, total).astype(np.int32)})
+    z = rng.uniform(-1, 1, size=(2, 8)).astype(np.float32)
+    want, _ = gan.sample(ts, z)
+    d = str(tmp_path / "export")
+    export.export_module(gan, ts, d)
+
+    gin.clear_config()  # Fresh process simulation: no training config.
+    generate, _ = export.load_generator(d)
+    got = generate(z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
