@@ -39,6 +39,41 @@ class TestLayers:
         assert out.shape == (2, 8, 8, 16)
         assert params["d/kernel"].shape == (4, 4, 16, 3)
 
+    @pytest.mark.parametrize("k,s", [(5, 2), (4, 2), (3, 1)])
+    def test_conv2d_matches_tf_same_padding(self, k, s):
+        """lax SAME == tf.nn.conv2d SAME bit-exactly, incl. the
+        asymmetric padding of even/strided kernels (every D uses strided
+        SAME convs — reference arch_ops.py:559-574)."""
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 7, 7, 3).astype(np.float32)
+
+        def net(x_):
+            return ops.conv2d(x_, 4, k, k, s, s, name="c", use_bias=False)
+
+        _, params, state = core.init(net, jax.random.PRNGKey(0), x)
+        params = dict(params)
+        params["c/kernel"] = rng.randn(k, k, 3, 4).astype(np.float32)
+        got, _ = core.apply(net, params, state, x)
+        want = tf.nn.conv2d(x, params["c/kernel"], strides=[1, s, s, 1],
+                            padding="SAME").numpy()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_unpool_matches_reference_tf_sequence(self):
+        """Zero-interleaved upsample == the reference's TF concat/reshape
+        trick (resnet_ops.py:35-56), bit-exact."""
+        tf = pytest.importorskip("tensorflow")
+        x = np.random.RandomState(0).randn(2, 3, 5, 4).astype(np.float32)
+
+        sh = list(x.shape)
+        out = tf.reshape(x, [-1] + sh[-2:])
+        for i in range(2, 0, -1):
+            out = tf.concat([out, tf.zeros_like(out)], i)
+        want = tf.reshape(out, [-1, sh[1] * 2, sh[2] * 2, sh[3]]).numpy()
+        got = np.asarray(resnet_ops.unpool(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, want)
+
     @pytest.mark.parametrize("k,s", [(4, 2), (5, 2), (3, 1)])
     def test_deconv2d_matches_tf_conv2d_transpose(self, k, s):
         """deconv2d must reproduce tf.nn.conv2d_transpose exactly for the
