@@ -49,8 +49,11 @@ def momentum_optimizer(learning_rate, momentum=0.9, use_nesterov=False,
 def rmsprop_optimizer(learning_rate, decay=0.9, momentum=0.0, epsilon=1e-10,
                       name=None):
     del name
+    # initial_scale=1.0: TF1's RMSProp initializes the ms accumulator to
+    # ONES (optax defaults to zeros, which ~3x-amplifies the first
+    # updates vs the reference recipe).
     return optax.rmsprop(learning_rate, decay=decay, momentum=momentum,
-                         eps=epsilon)
+                         eps=epsilon, initial_scale=1.0)
 
 
 # The reference's gin configs reference TF names directly; alias both the

@@ -45,7 +45,9 @@ def dragan_penalty(d_logits_fn, x):
     var = jnp.var(x.astype(jnp.float32))
     std = jnp.sqrt(var)
     noise = random.uniform(x.shape, name="dragan_noise") - 0.5
-    x_noisy = jnp.clip(x + std * noise.astype(x.dtype), 0.0, 1.0)
+    # Cast the whole perturbation: f32 `std` would promote x_noisy (and
+    # the penalty's entire D forward) to f32 under bf16 training.
+    x_noisy = jnp.clip(x + (std * noise).astype(x.dtype), 0.0, 1.0)
     return _slope_penalty(d_logits_fn, x_noisy)
 
 

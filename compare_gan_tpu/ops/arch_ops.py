@@ -527,12 +527,14 @@ def evonorm_s0(x, name="evonorm"):
 # ---------------------------------------------------------------------------
 
 
-def _weight_norm_gb(init_scale, x_init):
-    """Data-dependent g/b init from the init-trace batch (Salimans&Kingma)."""
+def _weight_norm_gb(init_scale, x_init, eps=1e-8):
+    """Data-dependent g/b init from the init-trace batch (Salimans&Kingma).
+    eps matches the reference per layer: 1e-10 for the linear
+    (arch_ops.py:617), 1e-8 for conv/deconv (:654,:694)."""
     axes = tuple(range(x_init.ndim - 1))
     m_init = jnp.mean(x_init, axis=axes)
     v_init = jnp.var(x_init, axis=axes)
-    scale_init = init_scale / jnp.sqrt(v_init + 1e-8)
+    scale_init = init_scale / jnp.sqrt(v_init + eps)
     return m_init, scale_init
 
 
@@ -542,10 +544,13 @@ def weight_norm_linear(x, output_size, init=False, init_scale=1.0,
     with core.scope(name):
         v = core.param("V", (x.shape[-1], output_size),
                        _truncated_normal_init(stddev))
-        v_normed = v * jax.lax.rsqrt(jnp.sum(jnp.square(v), 0, keepdims=True))
-        x_init = jnp.dot(x, v_normed, preferred_element_type=jnp.float32)
         if init and core.is_initializing():
-            m_init, scale_init = _weight_norm_gb(init_scale, x_init)
+            v_normed = v * jax.lax.rsqrt(
+                jnp.sum(jnp.square(v), 0, keepdims=True))
+            x_init = jnp.dot(x, v_normed,
+                             preferred_element_type=jnp.float32)
+            m_init, scale_init = _weight_norm_gb(init_scale, x_init,
+                                                 eps=1e-10)
             g = core.param("g", (output_size,),
                            lambda k, s, d: scale_init.astype(d))
             b = core.param("b", (output_size,),
