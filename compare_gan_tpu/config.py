@@ -19,6 +19,7 @@ decorator-based registry, kwarg injection at call time, @references,
 from __future__ import annotations
 
 import ast
+import contextlib
 import os
 import functools
 import inspect
@@ -257,6 +258,33 @@ def clear_config() -> None:
         _OPERATIVE.clear()
 
 
+@contextlib.contextmanager
+def config_scope(text: Optional[str] = None, replace: bool = True):
+    """Run a block under a temporary config, restoring the process's
+    bindings/macros on exit.
+
+    With `replace=True` (default) the scope starts from a CLEAN config
+    and applies only `text` — used by export loading so a module built
+    from its export_config.gin snapshot neither sees nor clobbers the
+    live process bindings (round-2 advisor: lazy architecture injection
+    meant 'last load wins' across two loaded exports)."""
+    with _lock:
+        saved = ({k: dict(v) for k, v in _BINDINGS.items()},
+                 dict(_MACROS),
+                 {k: dict(v) for k, v in _OPERATIVE.items()})
+    try:
+        if replace:
+            clear_config()
+        if text:
+            parse_config(text)
+        yield
+    finally:
+        with _lock:
+            _BINDINGS.clear(), _BINDINGS.update(saved[0])
+            _MACROS.clear(), _MACROS.update(saved[1])
+            _OPERATIVE.clear(), _OPERATIVE.update(saved[2])
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -312,8 +340,11 @@ def _parse_value(text: str):
 
     masked = _STRING_LIT.sub(mask_str, text)
     replaced = _TOKEN_MACRO.sub(sub_macro, _TOKEN_REF.sub(sub_ref, masked))
-    for i, s in enumerate(strings):
-        replaced = replaced.replace(f"__str_{i}__", s)
+    # Single-pass unmask: replacement text is NOT rescanned, so a quoted
+    # value whose content is itself placeholder-shaped (e.g. "__str_0__")
+    # cannot be corrupted by later substitutions.
+    replaced = re.sub(r"__str_(\d+)__",
+                      lambda m: strings[int(m.group(1))], replaced)
     try:
         tree = ast.parse(replaced, mode="eval")
     except SyntaxError as e:
@@ -355,10 +386,17 @@ def _scan_line(line: str):
     return line, balance
 
 
-def parse_config(text: str, base_dir: Optional[str] = None) -> None:
+def parse_config(text: str, base_dir: Optional[str] = None,
+                 _include_stack: Optional[set] = None) -> None:
     """Parse gin-format text: `scope.param = value`, `macro = value`,
     `import x` (ignored — module side effects only), `include 'f.gin'`
-    (parsed recursively, relative to `base_dir`), comments."""
+    (parsed recursively, relative to `base_dir`), comments.
+
+    `_include_stack` is internal: the realpaths of includes currently
+    being parsed, so a self- or mutual-include raises ConfigError instead
+    of RecursionError. Diamond includes (the same file included twice on
+    non-overlapping paths) remain legal, as in gin."""
+    include_stack = _include_stack if _include_stack is not None else set()
     buf = ""
     balance = 0
     for raw in text.splitlines():
@@ -379,8 +417,17 @@ def parse_config(text: str, base_dir: Optional[str] = None) -> None:
             path = m.group(1)
             if not os.path.isabs(path) and base_dir:
                 path = os.path.join(base_dir, path)
-            with open(path) as f:
-                parse_config(f.read(), base_dir=os.path.dirname(path))
+            real = os.path.realpath(path)
+            if real in include_stack:
+                raise ConfigError(f"Include cycle detected: {path!r} is "
+                                  "already being parsed.")
+            include_stack.add(real)
+            try:
+                with open(path) as f:
+                    parse_config(f.read(), base_dir=os.path.dirname(path),
+                                 _include_stack=include_stack)
+            finally:
+                include_stack.discard(real)
             continue
         if "=" not in stmt:
             raise ConfigError(f"Bad config line: {stmt!r}")

@@ -46,6 +46,11 @@ class _Ctx:
     created: Optional[list] = None
     # When True, set_state is a no-op (reads still see latest commits).
     freeze_state: bool = False
+    # Trace-time structural facts recorded by ops (e.g. "batch_coupled"
+    # from a training-mode batch norm). Unlike state writes these survive
+    # freeze_state — they describe the computation's structure, not its
+    # committed values.
+    tags: set = dataclasses.field(default_factory=set)
 
 
 def _ctx() -> _Ctx:
@@ -156,6 +161,24 @@ def no_state_updates():
         yield
     finally:
         ctx.freeze_state = prev
+
+
+def tag(name: str) -> None:
+    """Record a structural trace-time tag at the current context.
+
+    Ops call this to expose facts a caller cannot infer from state writes
+    alone — e.g. `standardize_batch` tags "batch_coupled" whenever its
+    output is normalized by the current batch's moments (is_training=True
+    in BOTH moving-average and accumulator modes; the latter writes no
+    state during training yet still couples examples — the write-detection
+    hole found in round 2's review). Tags are NOT suppressed by
+    no_state_updates()."""
+    _ctx().tags.add(name)
+
+
+def tags() -> frozenset:
+    """The structural tags recorded so far in the active context."""
+    return frozenset(_ctx().tags)
 
 
 def set_state(name: str, value: Array) -> None:

@@ -13,6 +13,7 @@ gin config.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Callable, Tuple
@@ -21,7 +22,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from compare_gan_tpu import config as gin
 from compare_gan_tpu import core
+
+
+def _export_config_scope(spec):
+    """Context under which a loaded module's forwards are traced: the
+    export's gin snapshot when present (isolated from live bindings),
+    else a passthrough for legacy exports without one."""
+    text = spec.get("_config_text", "")
+    return gin.config_scope(text) if text else contextlib.nullcontext()
 
 
 def export_module(gan, ts, export_dir: str) -> str:
@@ -31,7 +41,6 @@ def export_module(gan, ts, export_dir: str) -> str:
     gin knobs (G.batch_norm_fn, G/D.spectral_norm, BigGAN channel/
     attention options, ...) define the network — without them a
     configured model would silently rebuild with defaults."""
-    from compare_gan_tpu import config as gin
     os.makedirs(export_dir, exist_ok=True)
     with open(os.path.join(export_dir, "export_config.gin"), "w") as f:
         f.write(gin.config_str())
@@ -58,16 +67,19 @@ def export_module(gan, ts, export_dir: str) -> str:
 
 
 def _load(export_dir: str):
-    from compare_gan_tpu import config as gin
     with open(os.path.join(export_dir, "module_spec.json")) as f:
         spec = json.load(f)
-    # Re-apply the training gin config so the rebuilt architecture has
-    # the exported network's structure (injection happens lazily at
-    # forward time, so the bindings must be live, not restored away).
+    # Capture (don't apply) the training gin snapshot; the loaders wrap
+    # every forward trace in config_scope(snapshot) so the rebuilt
+    # architecture sees exactly the exported bindings — the process's
+    # live config is neither consulted nor clobbered, and two loaded
+    # exports with different configs coexist (round-2 advisor finding).
     cfg = os.path.join(export_dir, "export_config.gin")
+    config_text = ""
     if os.path.exists(cfg):
         with open(cfg) as f:
-            gin.parse_config(f.read())
+            config_text = f.read()
+    spec["_config_text"] = config_text
     params, state = {}, {}
     with np.load(os.path.join(export_dir, "module.npz")) as data:
         for k in data.files:
@@ -96,7 +108,8 @@ def load_generator(export_dir: str) -> Tuple[Callable, dict]:
     weight pytrees must never be baked into the HLO (on tunneled backends
     programs over ~50 MB are rejected; same fix as metrics/gilbo.py)."""
     spec, params, state = _load(export_dir)
-    generator = _build_arch(spec, "gen")
+    with _export_config_scope(spec):
+        generator = _build_arch(spec, "gen")
 
     @jax.jit
     def run(params, state, z, labels):
@@ -113,7 +126,10 @@ def load_generator(export_dir: str) -> Tuple[Callable, dict]:
             raise ValueError("Conditional generator needs labels.")
         if labels is None:
             labels = np.zeros(len(z), np.int32)
-        return run(params, state, z, labels)
+        # jit traces lazily per shape; the scope guarantees every trace
+        # sees the export's own bindings, not the process's live config.
+        with _export_config_scope(spec):
+            return run(params, state, z, labels)
 
     return generate, spec
 
@@ -173,7 +189,8 @@ def load_discriminator(export_dir: str) -> Tuple[Callable, dict]:
     features), spec). The 'disc' hub tag. Jits internally with
     params/state as arguments (see load_generator)."""
     spec, params, state = _load(export_dir)
-    discriminator = _build_arch(spec, "disc")
+    with _export_config_scope(spec):
+        discriminator = _build_arch(spec, "disc")
 
     @jax.jit
     def run(params, state, images, labels):
@@ -190,6 +207,7 @@ def load_discriminator(export_dir: str) -> Tuple[Callable, dict]:
             raise ValueError("Conditional discriminator needs labels.")
         if labels is None:
             labels = np.zeros(len(images), np.int32)
-        return run(params, state, images, labels)
+        with _export_config_scope(spec):
+            return run(params, state, images, labels)
 
     return discriminate, spec

@@ -279,22 +279,23 @@ class ModularGAN(AbstractGAN):
             # core.no_state_updates() (_penalty_loss) and only feed d_loss.
             # The real precondition is a batch-DECOUPLED discriminator:
             # with batch norm in D, the fake-only batch changes the
-            # normalization moments (and the moving/accu stats committed
-            # from this forward), so we detect batch-stat writes at trace
-            # time and refuse rather than silently diverge.
-            before = set(core._ctx().new_state)
+            # normalization moments, so we detect the structural
+            # "batch_coupled" tag recorded by standardize_batch at trace
+            # time and refuse rather than silently diverge. (Tags, not
+            # state writes: accumulator-mode BN normalizes by batch
+            # moments during training while writing NO state, so write
+            # detection alone has a hole — found in round 2's review.)
+            before = core.tags()
             d_fake, d_fake_logits, _ = self.discriminator(
                 generated, y=sampled_y, is_training=is_training)
-            coupled = sorted(
-                k for k in set(core._ctx().new_state) - before
-                if "moving_" in k or "accu_" in k)
-            if coupled:
+            if "batch_coupled" in core.tags() - before:
                 raise ValueError(
                     "experimental_fake_only_g_loss requires a discriminator "
-                    "without batch-coupled normalization: this D commits "
-                    f"batch statistics ({coupled[:3]}...) whose values "
-                    "depend on the concat(real, fake) batch the fake-only "
-                    "graph replaces.")
+                    "without batch-coupled normalization: this D normalizes "
+                    "by moments of the current batch (training-mode "
+                    "standardize_batch, moving-average or accumulator "
+                    "mode), so the fake-only batch this graph substitutes "
+                    "for concat(real, fake) changes its output.")
             stop = jax.lax.stop_gradient
             _, _, _, g_loss = loss_lib.get_losses(
                 d_real=stop(d_fake), d_fake=d_fake,
@@ -535,7 +536,10 @@ class ModularGAN(AbstractGAN):
     def make_train_loop(self, batch_size, steps_per_loop):
         """lax.scan over `steps_per_loop` pre-staged batches — the analog
         of iterations_per_loop device looping (main.py:86-88). Metrics are
-        from the last step of the chunk."""
+        the MEAN over the chunk's steps, matching TpuSummaries'
+        reduce_fn=mean over its summary window (tpu_summaries.py:66-113) —
+        every step's losses contribute to the logged curves, not just the
+        chunk's last step."""
         train_step = self.make_train_step(batch_size)
 
         def loop(ts: TrainState, stacked_batches):
@@ -545,8 +549,9 @@ class ModularGAN(AbstractGAN):
 
             ts, metrics_seq = jax.lax.scan(body, ts, stacked_batches,
                                            length=steps_per_loop)
-            last = jax.tree_util.tree_map(lambda m: m[-1], metrics_seq)
-            return ts, last
+            mean = jax.tree_util.tree_map(
+                lambda m: jnp.mean(m, axis=0), metrics_seq)
+            return ts, mean
 
         return loop
 

@@ -109,10 +109,14 @@ def read_record(path: str, offset: int, max_size: int = 64 << 20) -> bytes:
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf))
         if got >= 0:
             return buf[:got].tobytes()
+        if got != -2:
+            # -1: genuine IO error (missing file, bad offset, truncated
+            # record) — fail immediately, don't grow-and-retry.
+            raise IOError(f"IO error reading record at {path}:{offset}.")
         if len(buf) >= max_size:
-            raise IOError(f"Cannot read record at {path}:{offset}.")
-        # -1 is also "record larger than buffer": grow and retry (a real
-        # IO error will still fail at the max_size cap).
+            raise IOError(
+                f"Record at {path}:{offset} exceeds max_size={max_size}.")
+        # -2: record larger than the scratch buffer — grow and retry.
         buf = _read_local.buf = np.empty(len(buf) * 8, np.uint8)
 
 

@@ -81,7 +81,10 @@ int64_t tfrecord_index(const char* path, int64_t* offsets, int64_t max) {
 }
 
 // Read the payload of the record at `offset` into buf (size buf_size).
-// Returns payload size, or -1 on error / buffer too small.
+// Returns payload size; -1 on IO error (missing file, bad offset,
+// truncated record); -2 when the record is larger than buf_size (the
+// Python side grows its scratch buffer and retries ONLY on -2, so IO
+// errors surface immediately instead of after futile reallocations).
 int64_t tfrecord_read(const char* path, int64_t offset, uint8_t* buf,
                       int64_t buf_size) {
   FILE* f = std::fopen(path, "rb");
@@ -91,10 +94,13 @@ int64_t tfrecord_read(const char* path, int64_t offset, uint8_t* buf,
     return -1;
   }
   uint64_t len;
-  if (std::fread(&len, 8, 1, f) != 1 ||
-      static_cast<int64_t>(len) > buf_size) {
+  if (std::fread(&len, 8, 1, f) != 1) {
     std::fclose(f);
     return -1;
+  }
+  if (static_cast<int64_t>(len) > buf_size) {
+    std::fclose(f);
+    return -2;
   }
   std::fseek(f, 4, SEEK_CUR);  // length crc
   int64_t got = static_cast<int64_t>(std::fread(buf, 1, len, f));

@@ -374,6 +374,13 @@ def standardize_batch(x, is_training, decay=0.999, epsilon=1e-3,
         raise ValueError("TPU-native rebuild is NHWC only.")
     if x.ndim not in (2, 4):
         raise ValueError(f"Expected rank 2 or 4, got {x.ndim}.")
+    if is_training:
+        # Structural fact for callers (e.g. the fake-only-G-loss guard):
+        # in training mode the output is normalized by the CURRENT batch's
+        # moments in both moving-average and accumulator modes — examples
+        # are coupled even when no state is written (accumulator mode
+        # writes nothing during training).
+        core.tag("batch_coupled")
     in_dtype = x.dtype
     in_shape = x.shape
     num_channels = x.shape[-1]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import glob
+import logging
 import os
 import re
 import time
@@ -306,6 +307,7 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
             writer.scalars(metrics, step)
             if writer.should_write(step):
                 _write_image_summaries(writer, gan, ts, batch_size, step)
+                writer.mark_written(step)
             writer.flush()
         progress.report(step)
         if is_chief and (saver.should_save(step) or step >= max_steps):
@@ -314,6 +316,9 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
     if writer is not None:
         writer.close()
     return ts
+
+
+_image_summary_failure_logged = False
 
 
 def _write_image_summaries(writer, gan, ts, batch_size, step):
@@ -329,8 +334,17 @@ def _write_image_summaries(writer, gan, ts, batch_size, step):
                   if gan.conditional else None)
         images, _ = gan.sample(ts, z, labels=labels)
         writer.image_grid("fake_images", np.asarray(images), step)
-    except Exception:  # Summaries must never kill training.
-        pass
+    except Exception:  # Summaries must never kill training — but a run
+        # silently missing all its image grids is a debugging trap, so
+        # log the first failure loudly (once: later steps will fail the
+        # same way and would just spam).
+        global _image_summary_failure_logged
+        if not _image_summary_failure_logged:
+            _image_summary_failure_logged = True
+            logging.exception(
+                "Image summary at step %d failed; continuing training "
+                "WITHOUT image summaries (further failures suppressed).",
+                step)
 
 
 def _default_eval_tasks():

@@ -43,14 +43,20 @@ class SummaryWriter:
                 os.path.join(model_dir, "summaries.jsonl"), "a")
 
     def should_write(self, step: int) -> bool:
-        # Due-step trigger, not `% == 0`: the trainer asks only at scan
-        # chunk boundaries, which need not hit exact multiples of the
-        # cadence (default iterations_per_loop=100 vs cadence 250 would
-        # otherwise fire at half rate, non-divisors never).
+        """Pure predicate: is an image/extra summary due at `step`?
+
+        Due-step trigger, not `% == 0`: the trainer asks only at scan
+        chunk boundaries, which need not hit exact multiples of the
+        cadence (default iterations_per_loop=100 vs cadence 250 would
+        otherwise fire at half rate, non-divisors never). Callers act on
+        it and then call mark_written(step) — split so repeated probes
+        for the same step agree (mirrors hooks.EveryNSteps'
+        should_trigger/mark_triggered pair)."""
+        return step >= self._next_due
+
+    def mark_written(self, step: int) -> None:
         if step >= self._next_due:
             self._next_due = (step // self._every + 1) * self._every
-            return True
-        return False
 
     def scalar(self, tag: str, value, step: int) -> None:
         value = float(np.asarray(value))

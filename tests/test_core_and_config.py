@@ -168,3 +168,43 @@ def test_keyword_only_binding_survives_positional_args():
         return opt
     gin.parse_config("kwonly_fn_test.opt = 5")
     assert f(1, 2, 3) == 5
+
+
+def test_include_cycle_raises_config_error(tmp_path):
+    """Self- and mutual-includes must raise ConfigError, not
+    RecursionError (round-2 advisor); diamond includes stay legal."""
+    (tmp_path / "self.gin").write_text("include 'self.gin'\n")
+    with pytest.raises(gin.ConfigError, match="cycle"):
+        gin.parse_config_files_and_bindings([str(tmp_path / "self.gin")])
+
+    (tmp_path / "a.gin").write_text("include 'b.gin'\n")
+    (tmp_path / "b.gin").write_text("include 'a.gin'\n")
+    with pytest.raises(gin.ConfigError, match="cycle"):
+        gin.parse_config_files_and_bindings([str(tmp_path / "a.gin")])
+
+    # Diamond: main includes l and r, both include base — legal.
+    (tmp_path / "base.gin").write_text("foo = 1\n")
+    (tmp_path / "l.gin").write_text("include 'base.gin'\n")
+    (tmp_path / "r.gin").write_text("include 'base.gin'\n")
+    (tmp_path / "main.gin").write_text("include 'l.gin'\ninclude 'r.gin'\n")
+    gin.parse_config_files_and_bindings([str(tmp_path / "main.gin")])
+    assert gin._MACROS["foo"] == 1
+
+
+def test_placeholder_shaped_string_content_survives_parsing():
+    """A quoted value whose content looks like the parser's own string
+    mask token must round-trip intact (round-2 advisor: sequential
+    str.replace unmasking corrupted it)."""
+    gin.parse_config('weird.vals = ["__str_0__", "__str_1__", @hinge]')
+    vals = gin._BINDINGS["weird"]["vals"]
+    assert vals[0] == "__str_0__" and vals[1] == "__str_1__"
+
+
+def test_config_scope_isolates_and_restores():
+    gin.parse_config("scopetest.x = 1")
+    with gin.config_scope("scopetest.y = 2"):
+        # replace=True: clean slate + scoped text only.
+        assert gin.query("scopetest.x", default=None) is None
+        assert gin.query("scopetest.y") == 2
+    assert gin.query("scopetest.x") == 1
+    assert gin.query("scopetest.y", default=None) is None

@@ -30,6 +30,27 @@ def test_tfrecord_index_and_read(tmp_path):
         assert native.read_record(path, off) == expected
 
 
+def test_read_record_distinguishes_io_error_from_small_buffer(tmp_path):
+    """Round-2 advisor: a genuine IO error must fail immediately (no
+    1MB→8MB→64MB grow-and-retry) and say so; only 'record larger than
+    buffer' grows the scratch buffer."""
+    # Missing file: immediate IOError mentioning an IO failure.
+    with pytest.raises(IOError, match="IO error"):
+        native.read_record(str(tmp_path / "nope.tfrecord"), 0)
+    # Bad offset past EOF: immediate IOError, not the max_size message.
+    path = str(tmp_path / "b.tfrecord")
+    _write_tfrecord(path, [b"data"])
+    with pytest.raises(IOError, match="IO error"):
+        native.read_record(path, 10_000_000)
+    # A record bigger than the initial 1MB scratch still reads fine
+    # (the grow-on--2 path).
+    big = bytes(range(256)) * 8192  # 2 MiB
+    path2 = str(tmp_path / "c.tfrecord")
+    _write_tfrecord(path2, [big])
+    off, = native.index_tfrecords(path2)
+    assert native.read_record(path2, off) == big
+
+
 def test_resize_area_matches_python_reference():
     rng = np.random.RandomState(0)
     img = rng.rand(64, 48, 3).astype(np.float32)

@@ -131,6 +131,30 @@ def test_nan_sentinel_written_to_csv(tmp_path):
         assert float(rows[0][key]) == 31337.0, (key, rows[0])
 
 
+def test_image_summary_failure_logs_once(caplog):
+    """A broken sample path must not kill training, but the FIRST failure
+    must be logged loudly (round-2 review: the bare except silently
+    produced runs with no image summaries)."""
+    class _BrokenGan:
+        num_sub_steps = 1
+        z_dim = 4
+        conditional = False
+
+        def sample(self, *a, **k):
+            raise RuntimeError("broken sample path")
+
+    runner_lib._image_summary_failure_logged = False
+    try:
+        with caplog.at_level("ERROR"):
+            runner_lib._write_image_summaries(None, _BrokenGan(), None, 2, 7)
+            runner_lib._write_image_summaries(None, _BrokenGan(), None, 2, 8)
+        errors = [r for r in caplog.records
+                  if "image summary" in r.getMessage().lower()]
+        assert len(errors) == 1 and "step 7" in errors[0].getMessage()
+    finally:
+        runner_lib._image_summary_failure_logged = False
+
+
 def test_scores_csv_header_is_stable_union(tmp_path):
     """Late-appearing metric keys must not misalign rows: the file is
     rewritten with the union header (fixes the reference's per-row

@@ -15,13 +15,24 @@ def test_cadence(tmp_path):
     iterations_per_loop=100, cadence 250 must fire at 300, 500, 800, ...
     not only at exact multiples)."""
     w = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=250)
-    fired = [s for s in range(100, 1001, 100) if w.should_write(s)]
+    fired = []
+    for s in range(100, 1001, 100):
+        if w.should_write(s):
+            fired.append(s)
+            w.mark_written(s)
     assert fired == [300, 500, 800, 1000]
     w.close()
 
     w2 = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=250)
     assert not w2.should_write(100)
+    # should_write is a pure predicate: probing repeatedly for the same
+    # step must keep answering True until mark_written is called
+    # (round-2 advisor: the old query mutated state, so a second probe
+    # silently returned False).
     assert w2.should_write(250)
+    assert w2.should_write(250)
+    w2.mark_written(250)
+    assert not w2.should_write(250)
     assert w2.should_write(500)
     w2.close()
 

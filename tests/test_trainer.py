@@ -188,6 +188,31 @@ def test_train_loop_scan_matches_stepwise():
     assert int(ts_b.step) == 3
 
 
+def test_train_loop_metrics_are_chunk_means():
+    """make_train_loop must reduce per-step metrics with mean over the
+    chunk (TpuSummaries reduce_fn=mean, tpu_summaries.py:66-113), not
+    keep only the last step."""
+    gan, bs = _make_gan(disc_iters=1)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    batches = [_batch(gan, bs, seed=i) for i in range(3)]
+
+    step = jax.jit(gan.make_train_step(bs))
+    per_step = []
+    ts_s = jax.tree_util.tree_map(jnp.copy, ts)
+    for b in batches:
+        ts_s, m = step(ts_s, b)
+        per_step.append(m)
+
+    loop = jax.jit(gan.make_train_loop(bs, 3))
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    _, chunk_metrics = loop(ts, stacked)
+
+    for k in per_step[0]:
+        expect = np.mean([float(m[k]) for m in per_step])
+        np.testing.assert_allclose(float(chunk_metrics[k]), expect,
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_z_generator_gin_distribution():
     gin.parse_config("z.distribution_fn = @tf.random.normal\n"
                      "z.stddev = 2.0")
@@ -215,6 +240,20 @@ def test_fake_only_g_loss_rejects_batch_coupled_discriminator():
     moments and the committed moving stats — must refuse at trace time,
     not silently diverge."""
     gin.parse_config("D.batch_norm_fn = @batch_norm")
+    gan, bs = _make_gan(arch="dcgan_arch", batch=2,
+                        experimental_fake_only_g_loss=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    with pytest.raises(ValueError, match="batch-coupled"):
+        gan.make_train_step(bs)(ts, _batch(gan, bs))
+
+
+def test_fake_only_g_loss_rejects_accumulator_bn_discriminator():
+    """Round-2 verdict hole: accumulator-mode BN
+    (standardize_batch.use_moving_averages=False) normalizes by batch
+    moments during training while writing NO state, so write-detection
+    missed it. The structural 'batch_coupled' tag must still reject it."""
+    gin.parse_config("D.batch_norm_fn = @batch_norm\n"
+                     "standardize_batch.use_moving_averages = False")
     gan, bs = _make_gan(arch="dcgan_arch", batch=2,
                         experimental_fake_only_g_loss=True)
     ts = gan.init_state(jax.random.PRNGKey(0), bs)
