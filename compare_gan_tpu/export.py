@@ -14,8 +14,10 @@ gin config.
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import json
 import os
+import re
 from typing import Callable, Tuple
 
 import jax
@@ -132,6 +134,146 @@ def load_generator(export_dir: str) -> Tuple[Callable, dict]:
             return run(params, state, z, labels)
 
     return generate, spec
+
+
+# ---------------------------------------------------------------------------
+# TF checkpoint import: reference-trained weights -> TrainState
+# ---------------------------------------------------------------------------
+
+# Optimizer slot variables the reference's TF Saver checkpoints carry but a
+# TrainState import must skip (fresh optax state is created instead):
+# "<var>/Adam", "<var>/Adam_1", Momentum/RMSProp slots, and the Adam power
+# counters ("beta1_power", sometimes suffixed).
+_TF_OPT_SLOT = re.compile(
+    r".*/(Adam|Momentum|RMSProp)(_\d+)?$|^beta[12]_power(_\d+)?$")
+
+# Variable-name suffixes that live in TrainState.state, not params
+# (reference arch_ops.py: u_var :488-497, moving_* :88-95, accu/* :141-168).
+_TF_STATE_SUFFIXES = ("/u_var", "/moving_mean", "/moving_variance",
+                      "/accu_mean", "/accu_variance", "/accu_counter",
+                      "/update_accus")
+
+_TF_EMA_SUFFIX = "/ExponentialMovingAverage"
+
+
+def _resolve_tf_checkpoint(path: str) -> str:
+    """Accept a Saver prefix, a model_dir with a `checkpoint` pointer, or
+    a TF-Hub module dir (variables/variables)."""
+    import tensorflow as tf
+    if os.path.isdir(path):
+        hub_vars = os.path.join(path, "variables", "variables")
+        if os.path.exists(hub_vars + ".index"):
+            return hub_vars
+        latest = tf.train.latest_checkpoint(path)
+        if latest:
+            return latest
+        raise FileNotFoundError(
+            f"No TF checkpoint or hub module found under {path}.")
+    return path
+
+
+def classify_tf_variable(name: str):
+    """('param'|'state'|'ema'|'step'|'disc_step'|'skip', target_key).
+
+    The name mapping is near-identity because core scope paths replicate
+    the reference's variable_scope layout (golden-tested in
+    tests/test_resnet_norm_golden.py); what remains is sorting each TF
+    variable into the right TrainState tree."""
+    if name.startswith("module/"):  # Hub-module instantiation scope.
+        name = name[len("module/"):]
+    if name in ("global_step", "global_step/ExponentialMovingAverage"):
+        return ("step" if name == "global_step" else "skip"), name
+    if name == "global_step_disc":
+        return "disc_step", name
+    if _TF_OPT_SLOT.match(name):
+        return "skip", name
+    if name.endswith(_TF_EMA_SUFFIX):
+        return "ema", name[: -len(_TF_EMA_SUFFIX)]
+    if name.endswith(_TF_STATE_SUFFIXES):
+        return "state", name
+    if name.startswith(("generator/", "discriminator/")):
+        return "param", name
+    return "skip", name
+
+
+def import_reference_checkpoint(gan, checkpoint_path: str,
+                                batch_size: int = 8, seed: int = 42):
+    """Load a reference (google/compare_gan) TF Saver checkpoint or
+    TF-Hub module into a TrainState for this framework's `gan`.
+
+    Maps TF variables into the params/state/ema_params trees by name
+    (layouts already agree: conv kernels HWIO, deconv kernels HWOI as
+    stored by tf.nn.conv2d_transpose, linear [in, out], SN u_var (M,1) or
+    (1,N), BN moving_*/accu_* — reference arch_ops.py:66-191,453-535),
+    restores the two step counters (reference modular_gan.py:550-566),
+    and creates FRESH optimizer state (Adam slots in the checkpoint are
+    skipped; they only matter for resuming reference training, not for
+    eval/export parity).
+
+    Raises ValueError listing missing/extra variables if the checkpoint
+    does not exactly cover the gan's parameter and state trees — a
+    silent partial import would produce a subtly wrong model.
+    """
+    import jax.random as jrandom
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(
+        _resolve_tf_checkpoint(checkpoint_path))
+    names = sorted(reader.get_variable_to_shape_map())
+
+    template = gan.init_state(jrandom.PRNGKey(seed), batch_size)
+    params: dict = {}
+    state: dict = {}
+    ema: dict = {}
+    step = None
+    disc_step = None
+    for name in names:
+        kind, key = classify_tf_variable(name)
+        if kind == "skip":
+            continue
+        value = reader.get_tensor(name)
+        if kind == "step":
+            step = int(value)
+        elif kind == "disc_step":
+            disc_step = int(value)
+        else:
+            {"param": params, "state": state, "ema": ema}[kind][key] = value
+
+    def _check(got: dict, want: dict, tree_name: str):
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        if missing or extra:
+            raise ValueError(
+                f"TF checkpoint does not match the gan's {tree_name} tree."
+                f" Missing: {missing[:5]}{'...' if len(missing) > 5 else ''}"
+                f" Extra: {extra[:5]}{'...' if len(extra) > 5 else ''}")
+        out = {}
+        for k, v in want.items():
+            arr = np.asarray(got[k])
+            if arr.shape != tuple(v.shape):
+                raise ValueError(
+                    f"Shape mismatch for {k}: checkpoint {arr.shape} vs "
+                    f"model {tuple(v.shape)}.")
+            out[k] = jnp.asarray(arr, dtype=v.dtype)
+        return out
+
+    params = _check(params, template.params, "params")
+    state = _check(state, template.state, "state")
+    if template.ema_params:
+        ema = _check(ema, template.ema_params, "ema_params")
+    elif ema:
+        raise ValueError(
+            "Checkpoint carries EMA shadows but the gan was built with "
+            "g_use_ema=False; construct it with g_use_ema=True so the "
+            "reference's EMA-at-export semantics apply.")
+    else:
+        ema = {}
+
+    return dataclasses.replace(
+        template, params=params, state=state, ema_params=ema,
+        step=jnp.asarray(step if step is not None else 0, jnp.int32),
+        disc_step=jnp.asarray(
+            disc_step if disc_step is not None else 0, jnp.int32))
 
 
 def export_saved_model(gan, ts, export_dir: str,

@@ -275,9 +275,31 @@ def down_conv2d(x, output_dim, k_h, k_w, stddev=0.02, name="conv2d",
         return out
 
 
+def _deconv_same_pads(in_size, out_size, k, s):
+    """Explicit (lo, hi) padding of the stride-dilated input that makes
+    conv_transpose reproduce tf.nn.conv2d_transpose(output_shape=...,
+    padding='SAME') — i.e. the GRADIENT of a SAME forward conv mapping
+    out_size -> in_size. Needed because lax.conv_transpose's string
+    'SAME' always yields in*stride, but TF's output_shape also permits
+    the other ceil-div preimages (e.g. 4 -> 7 at stride 2, the 28 px
+    DCGAN schedule, reference dcgan.py:55-76)."""
+    if -(-out_size // s) != in_size:
+        raise ValueError(
+            f"deconv2d: requested output size {out_size} is not a stride-"
+            f"{s} SAME preimage of input size {in_size}.")
+    fwd_total = max((in_size - 1) * s + k - out_size, 0)
+    fwd_lo = fwd_total // 2  # TF SAME: extra pad goes to the end.
+    fwd_hi = fwd_total - fwd_lo
+    extra = (out_size + fwd_total - k) % s  # Forward-stride remainder.
+    return (k - 1 - fwd_lo, k - 1 - fwd_hi + extra)
+
+
 def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
              name="deconv2d", use_sn=False):
-    """Transposed SAME conv (arch_ops.py:579-592). output_shape: NHWC list.
+    """Transposed SAME conv (arch_ops.py:579-592). output_shape: NHWC list;
+    the spatial dims are honored exactly like tf.nn.conv2d_transpose's
+    output_shape (any ceil-div preimage of the input size, not just
+    in*stride).
 
     Kernel is stored HWOI = (k_h, k_w, C_out, C_in), same layout as the
     reference's tf.nn.conv2d_transpose kernel, so spectral norm flattens to
@@ -292,9 +314,12 @@ def deconv2d(x, output_shape, k_h, k_w, d_h, d_w, stddev=0.02,
         # transpose_kernel=True + HWIO reproduces tf.nn.conv2d_transpose
         # exactly (spatial flip + I/O swap + SAME pad alignment) for the
         # (k_h, k_w, C_out, C_in) kernel — verified against TF in
-        # tests/test_arch_ops.py::test_deconv2d_matches_tf_conv2d_transpose.
+        # tests/test_arch_ops.py::test_deconv2d_matches_tf_conv2d_transpose
+        # (even and odd output sizes).
+        pads = [_deconv_same_pads(x.shape[1], output_shape[1], k_h, d_h),
+                _deconv_same_pads(x.shape[2], output_shape[2], k_w, d_w)]
         out = jax.lax.conv_transpose(
-            x, w.astype(x.dtype), strides=(d_h, d_w), padding="SAME",
+            x, w.astype(x.dtype), strides=(d_h, d_w), padding=pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True)
         if sigma is not None:

@@ -74,15 +74,22 @@ class TestLayers:
         got = np.asarray(resnet_ops.unpool(jnp.asarray(x)))
         np.testing.assert_array_equal(got, want)
 
-    @pytest.mark.parametrize("k,s", [(4, 2), (5, 2), (3, 1)])
-    def test_deconv2d_matches_tf_conv2d_transpose(self, k, s):
+    @pytest.mark.parametrize("k,s,size,out_size", [
+        (4, 2, 5, 10), (5, 2, 5, 10), (3, 1, 5, 5),
+        # Odd/ceil-div output_shape preimages (tf.nn.conv2d_transpose
+        # honors any out with ceil(out/s) == in): the 28 px DCGAN
+        # schedule 4->7 and 14->28 (reference dcgan.py:55-76).
+        (5, 2, 4, 7), (5, 2, 14, 28), (4, 2, 4, 7), (3, 2, 5, 9),
+    ])
+    def test_deconv2d_matches_tf_conv2d_transpose(self, k, s, size,
+                                                  out_size):
         """deconv2d must reproduce tf.nn.conv2d_transpose exactly for the
         reference's (k, k, C_out, C_in) kernel layout — spatial flip, I/O
         swap, and SAME pad alignment (reference arch_ops.py:579-592)."""
         tf = pytest.importorskip("tensorflow")
         rng = np.random.RandomState(0)
-        x = rng.randn(2, 5, 5, 3).astype(np.float32)
-        out_shape = [2, 5 * s, 5 * s, 6]
+        x = rng.randn(2, size, size, 3).astype(np.float32)
+        out_shape = [2, out_size, out_size, 6]
 
         def net(x_):
             return ops.deconv2d(x_, out_shape, k, k, s, s, name="d")
