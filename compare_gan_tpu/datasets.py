@@ -46,6 +46,21 @@ FAKE_DATASET = False  # --data_fake_dataset
 DATA_DIR = os.environ.get("COMPARE_GAN_DATA_DIR", "/tmp/compare_gan_data")
 
 
+def _process_topology():
+    """(num_processes, process_id) from jax.distributed WITHOUT forcing
+    device-backend init (this is host-side input code; touching
+    jax.process_count() here would spin up the TPU client just to read
+    a dataset). Unset (single-process run) -> (1, 0)."""
+    try:
+        from jax._src import distributed
+        state = distributed.global_state
+        if state.num_processes:
+            return int(state.num_processes), int(state.process_id or 0)
+    except Exception:
+        pass
+    return 1, 0
+
+
 def set_fake_dataset(value: bool) -> None:
     global FAKE_DATASET
     FAKE_DATASET = bool(value)
@@ -496,17 +511,27 @@ class ImageDatasetV2:
             f".npz or TFRecord shards there, or enable fake data "
             f"(set_fake_dataset(True)).")
 
+    def _resolved_hosts(self):
+        """(num_hosts, host_id): explicit constructor values win, else the
+        JAX distributed topology — in a multi-host launch (after
+        jax.distributed.initialize, see main.py --multihost) every host
+        automatically reads its own disjoint shard of each epoch, the
+        TPUEstimator per-host input_fn behavior (reference
+        abstract_gan.py:41-47, datasets.py:147-172)."""
+        if self._num_hosts is not None or self._host_id is not None:
+            return self._num_hosts or 1, self._host_id or 0
+        return _process_topology()
+
     def _host_seed(self, host_id=None):
         """seed + host index (reference datasets.py:147-172)."""
-        hid = self._host_id if host_id is None else host_id
-        return self._seed + (hid or 0)
+        hid = self._resolved_hosts()[1] if host_id is None else host_id
+        return self._seed + hid
 
     # -- iteration ---------------------------------------------------------
     def _iter_indices(self, split, shuffle, repeat, seed) -> Iterator[int]:
         src = self._get_source()
         n = src.num_examples(split)
-        num_hosts = self._num_hosts or 1
-        host_id = self._host_id or 0
+        num_hosts, host_id = self._resolved_hosts()
         epoch = 0
         while True:
             order = np.arange(n)

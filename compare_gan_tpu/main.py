@@ -48,6 +48,21 @@ flags.DEFINE_bool(
     "use_tpu", None,
     "Accepted for reference-CLI compatibility (main.py:62-63); device "
     "selection is automatic under JAX.")
+flags.DEFINE_bool(
+    "multihost", False,
+    "Form a multi-host mesh via jax.distributed.initialize() before any "
+    "device use. Coordinator/process identity come from --coordinator_"
+    "address/--num_processes/--process_id, or are auto-detected on Cloud "
+    "TPU pods when those are unset. The TPUEstimator equivalent: every "
+    "host then runs its own input shard and the chief (process 0) writes "
+    "checkpoints/summaries.")
+flags.DEFINE_string(
+    "coordinator_address", None,
+    "host:port of process 0 for --multihost (unset: auto-detect).")
+flags.DEFINE_integer(
+    "num_processes", None, "Process count for --multihost.")
+flags.DEFINE_integer(
+    "process_id", None, "This process's index for --multihost.")
 
 
 def _get_run_config(iterations_per_loop=100, save_checkpoints_steps=5000,
@@ -78,6 +93,17 @@ def _get_task_manager():
 
 
 def main(unused_argv):
+    if FLAGS.multihost:
+        # Must run before anything touches jax devices; afterwards
+        # jax.process_index()/process_count() drive chief-only writes
+        # (runner_lib) and per-host input sharding (datasets).
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=FLAGS.coordinator_address,
+            num_processes=FLAGS.num_processes,
+            process_id=FLAGS.process_id)
+        logging.info("Multi-host mesh: process %d of %d.",
+                     jax.process_index(), jax.process_count())
     logging.info("Gin config: %s\nGin bindings: %s",
                  FLAGS.gin_config, FLAGS.gin_bindings)
     datasets.set_fake_dataset(FLAGS.data_fake_dataset)

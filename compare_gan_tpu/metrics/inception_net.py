@@ -305,7 +305,12 @@ def init_random(key) -> Dict[str, jax.Array]:
         elif name.endswith(("beta", "moving_mean", "biases")):
             params[name] = jnp.zeros(shape, jnp.float32)
         else:
+            # He scaling: each ReLU halves the signal's second moment, so
+            # sqrt(2/fan_in) keeps activation magnitude roughly constant
+            # through the ~40-conv stack. With 1/sqrt(fan_in) the pool
+            # features decayed to ~1e-4 and all distributions collapsed
+            # to near-zero FID — useless as a random-feature FID proxy.
             fan_in = int(np.prod(shape[:-1]))
             params[name] = (jax.random.normal(sub, shape, jnp.float32)
-                            / np.sqrt(fan_in))
+                            * np.sqrt(2.0 / fan_in))
     return params

@@ -165,3 +165,34 @@ def test_label_map_applies_to_train_only(tmp_path, monkeypatch):
     ev = next(ds.eval_input_fn(4))
     assert ev["labels"].ndim == 1  # eval keeps original int labels
     assert ev["labels"].dtype == np.int32
+
+
+@pytest.mark.parametrize("num_hosts", [1, 2, 4])
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_host_shards_partition_epoch_exactly(num_hosts, shuffle):
+    """Multi-host input sharding (TPUEstimator per-host input_fn,
+    reference datasets.py:147-172): the N host streams must cover each
+    epoch disjointly and exhaustively."""
+    datasets.set_fake_dataset(True)
+    per_host = []
+    for h in range(num_hosts):
+        ds = datasets.get_dataset("cifar10")
+        ds._num_hosts, ds._host_id = num_hosts, h
+        idx = list(ds._iter_indices("train", shuffle=shuffle,
+                                    repeat=False, seed=123))
+        per_host.append(idx)
+    n = ds._get_source().num_examples("train")
+    all_idx = [i for shard in per_host for i in shard]
+    assert len(all_idx) == n  # Exhaustive...
+    assert len(set(all_idx)) == n  # ...and disjoint.
+    # Near-even split: shard sizes differ by at most 1.
+    sizes = sorted(len(s) for s in per_host)
+    assert sizes[-1] - sizes[0] <= 1
+
+
+def test_default_topology_single_process():
+    """Without jax.distributed.initialize the resolved topology must be
+    (1, 0) — and must not have forced a device-backend init to find out."""
+    datasets.set_fake_dataset(True)
+    ds = datasets.get_dataset("cifar10")
+    assert ds._resolved_hosts() == (1, 0)
