@@ -110,7 +110,7 @@ class FakeSource:
         rng = np.random.Generator(np.random.Philox(key=key))
         image = rng.random(self._shape, dtype=np.float32)
         label = int(rng.integers(0, self._num_classes or 1))
-        return image, label
+        return image, label, None
 
 
 class NpzSource:
@@ -136,7 +136,37 @@ class NpzSource:
         image = images[index]
         if image.dtype == np.uint8:
             image = _u8_to_f32(image)
-        return image, int(labels[index])
+        return image, int(labels[index]), None
+
+
+def _read_tfrecord_payloads(path):
+    """All record payloads of one TFRecord file, in order (native C++
+    index + read when available, pure-Python framing otherwise)."""
+    from compare_gan_tpu import native
+    if native.available():
+        for off in native.index_tfrecords(path):
+            yield native.read_record(path, off)
+        return
+    import struct
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            f.seek(4, os.SEEK_CUR)  # payload crc
+            yield payload
+
+
+@gin.configurable("replace_labels")
+def _replace_labels_pattern(file_pattern=None):
+    """Gin surface of the reference's label replacement
+    (`replace_labels.file_pattern`, reference datasets.py:174-199): a
+    glob with a `{split}` placeholder naming sidecar TFRecords whose
+    Examples carry `file_name` + `label` (int64 hard label, or a float
+    list of logits soft-maxed into a soft label)."""
+    return file_pattern
 
 
 class TFRecordSource:
@@ -220,12 +250,15 @@ class TFRecordSource:
             if key in feats and feats[key].int64_list.value:
                 label = int(feats[key].int64_list.value[0])
                 break
+        file_name = None
+        if "file_name" in feats and feats["file_name"].bytes_list.value:
+            file_name = feats["file_name"].bytes_list.value[0].decode()
         if image.ndim == 2:
             image = image[:, :, None]
         if image.dtype == np.uint16:
             # 16-bit PNGs: scale, never wrap modulo 256.
             image = (image // 257).astype(np.uint8)
-        return _u8_to_f32(image.astype(np.uint8)), label
+        return _u8_to_f32(image.astype(np.uint8)), label, file_name
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +580,48 @@ class ImageDatasetV2:
                 return
             epoch += 1
 
+    def _sidecar_labels(self, split):
+        """Replacement labels from sidecar TFRecords when
+        `replace_labels.file_pattern` is bound (reference
+        datasets.py:174-223): returns (file_names, labels) aligned with
+        the dataset's record order, labels being int hard labels or
+        softmax(logits) soft labels. None when unconfigured."""
+        pattern = _replace_labels_pattern()
+        if not pattern:
+            return None
+        cache = getattr(self, "_sidecar_cache", None)
+        if cache is None:
+            cache = self._sidecar_cache = {}
+        if split in cache:
+            return cache[split]
+        import tensorflow as tf
+        files = sorted(glob.glob(pattern.format(split=split)))
+        if not files:
+            raise FileNotFoundError(
+                f"replace_labels.file_pattern matched no files: "
+                f"{pattern.format(split=split)!r}.")
+        names, labels = [], []
+        for path in files:
+            for payload in _read_tfrecord_payloads(path):
+                ex = tf.train.Example.FromString(payload)
+                feats = ex.features.feature
+                names.append(
+                    feats["file_name"].bytes_list.value[0].decode())
+                if feats["label"].float_list.value:
+                    logits = np.asarray(feats["label"].float_list.value,
+                                        np.float32)
+                    e = np.exp(logits - logits.max())
+                    labels.append(e / e.sum())  # Soft label.
+                else:
+                    labels.append(int(feats["label"].int64_list.value[0]))
+        n = self._get_source().num_examples(self._source_split(split))
+        if len(names) != n:
+            raise ValueError(
+                f"Label sidecar covers {len(names)} records but split "
+                f"'{split}' has {n}.")
+        cache[split] = (names, labels)
+        return cache[split]
+
     def _iter_examples(self, split, shuffle, repeat, transform, seed,
                        skip_examples=0, num_parallel_calls=8,
                        filter_fn=None):
@@ -570,11 +645,23 @@ class ImageDatasetV2:
         pre_skip = skip_examples if filter_fn is None else 0
         post_skip = 0 if filter_fn is None else skip_examples
 
+        sidecar = self._sidecar_labels(split)
+
         def load(args):
             position, idx = args
             rng = np.random.Generator(np.random.Philox(
                 key=(seed + 131) % 2**63, counter=position))
-            image, label = src.get(src_split, idx, self._seed)
+            image, label, file_name = src.get(src_split, idx, self._seed)
+            if sidecar is not None:
+                # Reference _replace_label: double-check instance identity
+                # before swapping the label (datasets.py:201-223).
+                names, labels = sidecar
+                if file_name is not None and names[idx] != file_name:
+                    raise ValueError(
+                        f"Label sidecar mismatch at record {idx}: sidecar "
+                        f"file_name {names[idx]!r} != dataset "
+                        f"{file_name!r}.")
+                label = labels[idx]
             if filter_fn is not None and not filter_fn(image, label):
                 return None
             image, label = transform(image, label, seed, rng)

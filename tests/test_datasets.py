@@ -4,6 +4,7 @@ determinism coverage + registry checks)."""
 import numpy as np
 import pytest
 
+from compare_gan_tpu import config as gin
 from compare_gan_tpu import datasets
 
 
@@ -146,8 +147,8 @@ def test_fake_source_images_decorrelated():
     """Consecutive fake records must be independent draws, not shifted
     windows of one Philox stream (index folds into the key)."""
     src = datasets.FakeSource(shape=(8, 8, 3), num_classes=10)
-    a, _ = src.get("train", 0, seed=1)
-    b, _ = src.get("train", 1, seed=1)
+    a, _, _ = src.get("train", 0, seed=1)
+    b, _, _ = src.get("train", 1, seed=1)
     # Shifted-window overlap would make flattened streams nearly equal
     # up to an offset; independent draws share no long common run.
     fa, fb = a.ravel(), b.ravel()
@@ -196,3 +197,89 @@ def test_default_topology_single_process():
     datasets.set_fake_dataset(True)
     ds = datasets.get_dataset("cifar10")
     assert ds._resolved_hosts() == (1, 0)
+
+
+def _tfds_fixture_env(tmp_path, monkeypatch, **kwargs):
+    from tests.helpers import write_tfds_fixture
+    pytest.importorskip("tensorflow")
+    fixture = write_tfds_fixture(tmp_path, **kwargs)
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    return fixture
+
+
+def test_tfds_fixture_roundtrip_pixel_exact(tmp_path, monkeypatch):
+    """A dataset byte-compatible with `tfds build` output (sharded
+    `<name>-<split>.tfrecord-*-of-*` files, image/encoded + label +
+    file_name features, real TFRecordWriter CRC framing) round-trips
+    through TFRecordSource pixel-for-pixel in record order."""
+    fixture = _tfds_fixture_env(tmp_path, monkeypatch)
+    names, labels, images = fixture["train"]
+    ds = datasets.get_dataset("cifar10")
+    src = ds._get_source()
+    assert isinstance(src, datasets.TFRecordSource)
+    assert src.num_examples("train") == len(images)
+    for i in range(len(images)):
+        img, label, fname = src.get("train", i, seed=1)
+        np.testing.assert_array_equal(
+            (img * 255.0).round().astype(np.uint8), images[i])
+        assert label == labels[i] and fname == names[i]
+    # And through the batch pipeline (unshuffled eval stream).
+    ev = next(ds.eval_input_fn(batch_size=4))
+    assert ev["images"].shape == (4, 32, 32, 3)
+
+
+def test_replace_labels_hard_with_filename_check(tmp_path, monkeypatch):
+    """replace_labels.file_pattern swaps labels from sidecar TFRecords;
+    a file_name mismatch refuses loudly (reference datasets.py:174-223)."""
+    from tests.helpers import write_label_sidecar
+    fixture = _tfds_fixture_env(tmp_path, monkeypatch)
+    names, labels, _ = fixture["train"]
+    new_labels = [(int(l) + 1) % 10 for l in labels]
+    sidecar_dir = tmp_path / "sidecar"
+    sidecar_dir.mkdir()
+    write_label_sidecar(sidecar_dir / "labels-train.tfrecord", names,
+                        new_labels)
+    gin.parse_config(
+        f"replace_labels.file_pattern = '{sidecar_dir}/labels-{{split}}.tfrecord'")
+    ds = datasets.get_dataset("cifar10")
+    got = []
+    it = ds._iter_examples("train", shuffle=False, repeat=False,
+                           transform=ds._train_transform, seed=ds._seed,
+                           num_parallel_calls=1)
+    got = [label for _, label in it]
+    assert got == new_labels
+
+    # Tampered sidecar order => filename-consistency assert fires.
+    write_label_sidecar(sidecar_dir / "labels-train.tfrecord",
+                        list(reversed(names)), new_labels)
+    ds2 = datasets.get_dataset("cifar10")
+    with pytest.raises(ValueError, match="sidecar"):
+        list(ds2._iter_examples("train", shuffle=False, repeat=False,
+                                transform=ds2._train_transform,
+                                seed=ds2._seed, num_parallel_calls=1))
+
+
+def test_replace_labels_soft_s3gan_sidecar(tmp_path, monkeypatch):
+    """Soft-label sidecars (float logits lists) become softmaxed label
+    vectors — the S3GAN soft-label input (reference
+    SoftLabeledImagenetDataset, datasets.py:587-617)."""
+    from tests.helpers import write_label_sidecar
+    fixture = _tfds_fixture_env(tmp_path, monkeypatch)
+    names, _, _ = fixture["train"]
+    rng = np.random.RandomState(5)
+    logits = rng.randn(len(names), 10).astype(np.float32)
+    sidecar_dir = tmp_path / "soft"
+    sidecar_dir.mkdir()
+    write_label_sidecar(sidecar_dir / "soft-train.tfrecord", names, logits)
+    gin.parse_config(
+        f"replace_labels.file_pattern = '{sidecar_dir}/soft-{{split}}.tfrecord'")
+    ds = datasets.get_dataset("cifar10")
+    batch = next(ds.train_input_fn(batch_size=4))
+    assert batch["labels"].shape == (4, 10)
+    np.testing.assert_allclose(batch["labels"].sum(axis=1), 1.0, rtol=1e-5)
+    # Each soft label is the softmax of SOME sidecar row (shuffled order).
+    want = np.exp(logits - logits.max(1, keepdims=True))
+    want /= want.sum(1, keepdims=True)
+    for row in batch["labels"]:
+        assert np.abs(want - row).sum(1).min() < 1e-5
