@@ -111,11 +111,19 @@ def _make_gilbo_steps(gan, z_dim, batch_size, tx):
 
 def train_gilbo(gan, ts, train_images=None, eval_images=None,
                 batch_size=64, train_steps=2000, eval_batches=64,
-                learning_rate=4e-4, seed=0):
+                learning_rate=4e-4, seed=0, options=None):
     """Train the GILBO regressor against the (frozen) generator and return
-    (gilbo, train_consistency, eval_consistency, self_consistency) in bits
-    per sample... nats, matching the reference's reporting (gilbo.py:
-    217-298)."""
+    (gilbo, train_consistency, eval_consistency, self_consistency) in
+    nats, matching the reference's reporting (gilbo.py:217-298).
+
+    With `options=None` (default) the regressor trains for a fixed
+    `train_steps` at constant lr — the fast smoke configuration. Passing
+    an options dict enables the reference's full training protocol
+    (gilbo.py:216-266): up to `gilbo_max_train_cycles` cycles of
+    `gilbo_train_steps_per_cycle` steps; after any cycle whose average
+    GILBO fails the required improvement margin the lr is scaled by
+    `gilbo_lr_scale`, and training stops when lr < `gilbo_min_lr` (or on
+    NaN). Same option names and defaults as the reference."""
     z_dim = gan.z_dim
     key = jax.random.PRNGKey(seed)
     # Disjoint key domains: a single flat fold_in space collided (train
@@ -124,17 +132,59 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     # regressor had trained on.
     init_key, train_key, eval_key, sc_key = (
         jax.random.fold_in(key, d) for d in range(4))
-    tx = optax.adam(learning_rate)
+    # lr as optimizer-state hyperparameter so the cycle protocol can
+    # decay it without retracing the jitted step.
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
     (fwd, gen, train_step, gilbo_batch, encode_mode,
      reencode_logq) = _make_gilbo_steps(gan, z_dim, batch_size, tx)
 
     _, x0 = gen(ts, jax.random.fold_in(init_key, 0))
     _, params, _ = core.init(fwd, jax.random.fold_in(init_key, 1), x0)
     opt_state = tx.init(params)
+    log_pz = -z_dim * np.log(2.0)
 
-    for i in range(train_steps):
-        params, opt_state, _ = train_step(
-            ts, params, opt_state, jax.random.fold_in(train_key, i))
+    if options is None:
+        for i in range(train_steps):
+            params, opt_state, _ = train_step(
+                ts, params, opt_state, jax.random.fold_in(train_key, i))
+    else:
+        # Reference protocol (gilbo.py:216-266), same knobs and defaults.
+        lr_scale = options.get("gilbo_lr_scale", 0.5)
+        min_lr = options.get("gilbo_min_lr", 1e-8)
+        min_ai_step_scale = options.get("gilbo_min_ai_step_scale", 0.75)
+        min_ai_step_value = options.get("gilbo_min_ai_step_value", 0.5)
+        max_train_cycles = options.get("gilbo_max_train_cycles", 50)
+        steps_per_cycle = options.get("gilbo_train_steps_per_cycle", 10000)
+        lr = learning_rate
+        ais = [0.0]  # Average GILBO per cycle.
+        min_ai = -2.0
+        step_index = 0
+        for cycle in range(max_train_cycles):
+            if lr < min_lr:
+                break
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, jnp.float32)
+            ai = 0.0
+            for j in range(steps_per_cycle):
+                params, opt_state, loss = train_step(
+                    ts, params, opt_state,
+                    jax.random.fold_in(train_key, step_index))
+                step_index += 1
+                # Streaming mean of the per-batch GILBO (= -loss - log p).
+                ai += (float(-loss) - log_pz - ai) / (j + 1)
+            if ai < min_ai:
+                lr *= lr_scale
+            if lr < min_lr:
+                break
+            if np.isnan(ai):
+                break
+            ais.append(ai)
+            # Next cycle must improve by a fraction of this cycle's gain
+            # (capped), else lr decays (reference gilbo.py:255-266).
+            min_ai = max(min_ai,
+                         ai + max(0.0, min(min_ai_step_value,
+                                           (ai - ais[-2])
+                                           * min_ai_step_scale)))
 
     gilbo = float(np.mean([
         gilbo_batch(ts, params, jax.random.fold_in(eval_key, i))

@@ -37,5 +37,46 @@ def test_config_constructs_gan(path):
 def test_expected_configs_shipped():
     names = {os.path.basename(p) for p in CONFIGS}
     assert names == {"biggan_imagenet128.gin", "dcgan_celeba64.gin",
-                     "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
+                     "dcgan_polygons28.gin", "resnet_cifar10.gin",
+                     "resnet_lsun-bedroom128.gin",
                      "sndcgan_celebahq128.gin"}
+
+
+# Shrink bindings so the BigGAN audit's eager init trace is CPU-cheap;
+# they are themselves consumed at architecture build, so they cannot
+# mask an unconsumed config binding.
+_AUDIT_SHRINK = {
+    "biggan_imagenet128.gin": ["resnet_biggan.Generator.ch = 16",
+                               "resnet_biggan.Discriminator.ch = 16"],
+}
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
+def test_every_binding_is_consumed(path):
+    """Parity audit (r2 VERDICT #10): every binding in a shipped config
+    must be CONSUMED (appear in the operative config) after the surfaces
+    that exist at training/eval time have run — a silently-ignored knob
+    can never reappear."""
+    import jax
+    from compare_gan_tpu import eval_gan_lib
+    from compare_gan_tpu import main as main_mod
+
+    name = os.path.basename(path)
+    gin.parse_config_files_and_bindings(
+        [path], _AUDIT_SHRINK.get(name, []))
+    options = runner_lib.get_options_dict()
+    dataset = datasets.get_dataset()
+    gan = options["gan_class"](dataset=dataset, parameters=options,
+                               model_dir="/tmp/audit_test")
+    # init_state traces G, D, losses, penalties, optimizers, norms.
+    gan.init_state(jax.random.PRNGKey(0), 2)
+    # Runner/eval surfaces consume run_config.* and eval_z.*.
+    main_mod.FLAGS(["audit", "--model_dir=/tmp/audit_test"])
+    main_mod._get_run_config()
+    from compare_gan_tpu.ops import rng as random_ops
+    with random_ops.rng_context(jax.random.PRNGKey(0)):
+        eval_gan_lib.z_generator((2, 4))
+
+    bound = {f"{s}.{p}" for s, ps in gin._BINDINGS.items() for p in ps}
+    consumed = {f"{s}.{p}" for s, ps in gin._OPERATIVE.items() for p in ps}
+    assert bound <= consumed, sorted(bound - consumed)

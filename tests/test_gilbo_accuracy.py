@@ -39,6 +39,43 @@ def test_gilbo_trains_and_reports():
     assert -100 < out["gilbo"] < 100
 
 
+def test_gilbo_cycle_protocol_decays_lr_until_min(monkeypatch):
+    """The reference training protocol (gilbo.py:216-266): cycles of
+    fixed steps; a cycle that misses the improvement margin halves the
+    lr; training stops once lr < gilbo_min_lr. With an unreachable
+    margin, every cycle decays — so the observed lrs must be the
+    geometric ladder truncated at min_lr, not max_train_cycles runs."""
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    seen_lrs = []
+    orig = gilbo_lib._make_gilbo_steps
+
+    def spy(gan_, z_dim, batch_size, tx):
+        fwd, gen, train_step, *rest = orig(gan_, z_dim, batch_size, tx)
+
+        def train_step_spy(ts_, params, opt_state, k):
+            seen_lrs.append(float(opt_state.hyperparams["learning_rate"]))
+            params, opt_state, _ = train_step(ts_, params, opt_state, k)
+            # Force a hopeless per-cycle GILBO (ai << initial min_ai of
+            # -2.0) so every cycle takes the decay branch.
+            return params, opt_state, np.float32(10.0)
+
+        return (fwd, gen, train_step_spy, *rest)
+
+    monkeypatch.setattr(gilbo_lib, "_make_gilbo_steps", spy)
+    out = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, eval_batches=2, learning_rate=1e-3,
+        options={"gilbo_max_train_cycles": 50,
+                 "gilbo_train_steps_per_cycle": 2,
+                 "gilbo_min_lr": 1e-4})
+    assert np.isfinite(out[0])
+    # lr ladder: 1e-3 (cycle 1)... decays by 0.5 until < 1e-4 => 4 cycles
+    # (1e-3, 5e-4, 2.5e-4, 1.25e-4), 2 steps each.
+    uniq = sorted(set(round(x, 10) for x in seen_lrs), reverse=True)
+    assert uniq == [1e-3, 5e-4, 2.5e-4, 1.25e-4], uniq
+    assert len(seen_lrs) == 8
+
+
 def test_gilbo_steps_do_not_bake_weights():
     """The jitted GILBO fns take TrainState/params as ARGUMENTS; closing
     over them bakes weights into the HLO (rejected by the axon tunnel for

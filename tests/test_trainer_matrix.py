@@ -66,6 +66,21 @@ def test_loss_penalty_matrix(loss, penalty):
     _one_step("dummy_arch", "cifar10", z_dim=8, bs=4)
 
 
+@pytest.mark.parametrize("arch,extra_gin", [
+    # SN conv D: second-order gradient flows through the spectral-norm
+    # power iteration (sigma is differentiable in w).
+    (consts.SNDCGAN_ARCH, "D.spectral_norm = True"),
+    # BN D: second-order gradient through training-mode batch moments
+    # (the grad-of-grad-through-state path dummy_arch can't exercise;
+    # reference modular_gan_test.py:56-95 runs penalties on real archs).
+    (consts.DCGAN_ARCH, "D.batch_norm_fn = @batch_norm"),
+])
+@pytest.mark.parametrize("penalty", ["wgangp_penalty", "dragan_penalty"])
+def test_penalty_on_real_architectures(arch, extra_gin, penalty):
+    gin.parse_config(f"penalty.fn = @{penalty}\n{extra_gin}")
+    _one_step(arch, "cifar10", z_dim=8, bs=2)
+
+
 def test_fit_label_distribution_uses_real_labels():
     """fit_label_distribution=True: sampled labels == data labels
     (modular_gan.py:402-405)."""
