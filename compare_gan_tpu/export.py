@@ -276,6 +276,36 @@ def import_reference_checkpoint(gan, checkpoint_path: str,
             disc_step if disc_step is not None else 0, jnp.int32))
 
 
+def export_reference_checkpoint(gan, ts, prefix: str) -> str:
+    """Inverse of import_reference_checkpoint: write this TrainState as a
+    TF1 Saver checkpoint with the reference's variable names, so models
+    trained here load into google/compare_gan (its eval stack, TF-Hub
+    export flow, or as a warm start). Optimizer slots are not written —
+    the reference recreates Adam slots on first use."""
+    import tensorflow as tf
+
+    graph = tf.Graph()
+    with graph.as_default():
+        for name, value in {**ts.params, **ts.state}.items():
+            tf.compat.v1.get_variable(
+                name, initializer=np.asarray(value))
+        for name in ts.ema_params:
+            tf.compat.v1.get_variable(
+                name + _TF_EMA_SUFFIX,
+                initializer=np.asarray(ts.ema_params[name]))
+        tf.compat.v1.get_variable(
+            "global_step", initializer=np.asarray(int(ts.step), np.int64),
+            dtype=tf.int64)
+        tf.compat.v1.get_variable(
+            "global_step_disc",
+            initializer=np.asarray(int(ts.disc_step), np.int32),
+            dtype=tf.int32)
+        saver = tf.compat.v1.train.Saver()
+        with tf.compat.v1.Session(graph=graph) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            return saver.save(sess, prefix)
+
+
 def export_saved_model(gan, ts, export_dir: str,
                        batch_sizes=(8, 16, 32, 64)) -> str:
     """TF SavedModel export via jax2tf — the serving-compatible analog of

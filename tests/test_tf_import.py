@@ -211,3 +211,32 @@ def test_import_biggan32_conditional(tmp_path):
             np.asarray(v), float_vars[k + "/ExponentialMovingAverage"])
     for k, v in ts.state.items():
         np.testing.assert_array_equal(np.asarray(v), float_vars[k])
+
+
+def test_export_then_import_roundtrip_bitwise(tmp_path):
+    """export_reference_checkpoint -> import_reference_checkpoint is
+    bitwise: our trained TrainStates are consumable by the reference
+    (same Saver layout) and re-importable without loss."""
+    gin.parse_config("G.batch_norm_fn = @batch_norm\n"
+                     "D.spectral_norm = True")
+    gan = _make_gan("resnet_cifar_arch", g_use_ema=True)
+    ts = gan.init_state(jax.random.PRNGKey(5), 2)
+    # One train step so moving stats / u_var / EMA diverge from init.
+    step = jax.jit(gan.make_train_step(2))
+    rng = np.random.RandomState(0)
+    total = 2 * gan.num_sub_steps
+    ts, _ = step(ts, {
+        "images": rng.rand(total, 32, 32, 3).astype(np.float32),
+        "labels": rng.randint(0, 10, total).astype(np.int32)})
+
+    prefix = export.export_reference_checkpoint(
+        gan, ts, str(tmp_path / "model.ckpt-1"))
+    ts2 = export.import_reference_checkpoint(gan, prefix, batch_size=2)
+    assert int(ts2.step) == int(ts.step)
+    assert int(ts2.disc_step) == int(ts.disc_step)
+    for tree, tree2 in [(ts.params, ts2.params), (ts.state, ts2.state),
+                        (ts.ema_params, ts2.ema_params)]:
+        assert set(tree) == set(tree2)
+        for k in tree:
+            np.testing.assert_array_equal(np.asarray(tree[k]),
+                                          np.asarray(tree2[k]))
