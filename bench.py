@@ -89,6 +89,16 @@ def main():
                               ).astype(np.int32),
     })
 
+    # BENCH_COMPILER_OPTIONS="k=v,k2=v2": forward TPU compiler options
+    # (e.g. xla_tpu_scoped_vmem_limit_kib=65536) for flag experiments.
+    # Client-side XLA_FLAGS cannot carry --xla_tpu_* flags on tunneled
+    # backends (the client parser rejects them; libtpu lives server-side)
+    # but jit compiler_options reach the server compiler.
+    opts_env = os.environ.get("BENCH_COMPILER_OPTIONS")
+    if opts_env:
+        opts = dict(kv.split("=", 1) for kv in opts_env.split(","))
+        loop = loop.lower(ts, chunk).compile(compiler_options=opts)
+
     for _ in range(WARMUP_CHUNKS):
         ts, metrics = loop(ts, chunk)
     float(metrics["loss/g"])  # Materialize: block_until_ready alone can
