@@ -93,10 +93,16 @@ def main():
     # (e.g. xla_tpu_scoped_vmem_limit_kib=65536) for flag experiments.
     # Client-side XLA_FLAGS cannot carry --xla_tpu_* flags on tunneled
     # backends (the client parser rejects them; libtpu lives server-side)
-    # but jit compiler_options reach the server compiler.
+    # but jit compiler_options reach the server compiler. Unset = the
+    # measured production default (copy-insertion region analysis, +1.9%;
+    # mesh_utils.default_tpu_compiler_options, README perf notes).
     opts_env = os.environ.get("BENCH_COMPILER_OPTIONS")
     if opts_env:
         opts = dict(kv.split("=", 1) for kv in opts_env.split(","))
+    else:
+        from compare_gan_tpu.parallel import mesh_utils
+        opts = mesh_utils.default_tpu_compiler_options()
+    if opts:
         loop = loop.lower(ts, chunk).compile(compiler_options=opts)
 
     for _ in range(WARMUP_CHUNKS):

@@ -80,10 +80,26 @@ def stage_chunk(batch_iter: Iterator, steps: int, shard_batch):
     return shard_batch(stacked)
 
 
+def default_tpu_compiler_options():
+    """Measured-default TPU compiler options for the training loop.
+
+    Copy-insertion region analysis removes part of the conv-bwd layout-
+    copy overhead: +1.9% BigGAN-128 steps/s measured on v5e (16.43 ->
+    16.73; README perf notes). Flag experiments also measured:
+    xla_tpu_scoped_vmem_limit_kib=65536 -3.6%, =32768 neutral — left at
+    default. Returns None off-TPU (CPU/GPU XLA reject tpu options)."""
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return {"xla_tpu_copy_insertion_use_region_analysis": "true"}
+    return None
+
+
 def compile_train_loop(gan, ts, mesh: Mesh, batch_size: int,
-                       steps_per_loop: int):
+                       steps_per_loop: int, compiler_options=None):
     """Returns (jitted_loop, shard_batch, sharded_ts). The loop donates the
-    TrainState buffers (in-place update on device, zero copy)."""
+    TrainState buffers (in-place update on device, zero copy).
+
+    compiler_options: dict forwarded to the XLA compile (AOT-compiled on
+    first call); None = default_tpu_compiler_options()."""
     n_data = mesh.shape["data"]
     total = batch_size * gan.num_sub_steps
     if total % n_data:
@@ -96,8 +112,26 @@ def compile_train_loop(gan, ts, mesh: Mesh, batch_size: int,
     # Input shardings propagate from the device_put layouts; XLA partitions
     # the step and inserts the ICI collectives.
     jitted = jax.jit(loop, donate_argnums=(0,))
+    if compiler_options is None:
+        compiler_options = default_tpu_compiler_options()
+    if compiler_options:
+        jitted = _aot_on_first_call(jitted, compiler_options)
     shard_batch = make_batch_sharder(mesh, leading_stack=True)
     return jitted, shard_batch, ts
+
+
+def _aot_on_first_call(jitted, compiler_options):
+    """Wrap a jitted fn so its first call AOT-compiles with explicit
+    compiler options (jit's lazy path has no options hook)."""
+    box = {}
+
+    def run(*args):
+        if "compiled" not in box:
+            box["compiled"] = jitted.lower(*args).compile(
+                compiler_options=dict(compiler_options))
+        return box["compiled"](*args)
+
+    return run
 
 
 def compile_train_step(gan, ts, mesh: Mesh, batch_size: int,

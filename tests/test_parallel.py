@@ -181,6 +181,36 @@ def test_batch_not_divisible_raises():
         mesh_utils.compile_train_loop(gan, ts, mesh, 3, 2)
 
 
+def test_default_compiler_options_off_tpu():
+    # CPU/GPU XLA reject xla_tpu_* options: the production default must be
+    # None here so compile_train_loop's lazy-jit path is untouched.
+    assert mesh_utils.default_tpu_compiler_options() is None
+
+
+def test_aot_on_first_call_compiles_once_and_delegates():
+    calls = []
+
+    class FakeCompiled:
+        def __call__(self, *args):
+            return ("ran", args)
+
+    class FakeLowered:
+        def compile(self, compiler_options=None):
+            calls.append(dict(compiler_options))
+            return FakeCompiled()
+
+    class FakeJitted:
+        def lower(self, *args):
+            return FakeLowered()
+
+    run = mesh_utils._aot_on_first_call(
+        FakeJitted(), {"xla_tpu_copy_insertion_use_region_analysis": "true"})
+    assert run(1, 2) == ("ran", (1, 2))
+    assert run(3, 4) == ("ran", (3, 4))  # reuses the compiled executable
+    assert calls == [
+        {"xla_tpu_copy_insertion_use_region_analysis": "true"}]
+
+
 # ---------------------------------------------------------------------------
 # Mesh-invariance goldens for the HARD state (r1 VERDICT Next #2, #10):
 # cross-replica BN moments, spectral-norm u_var updates, EMA — compared as
