@@ -171,9 +171,12 @@ def tag(name: str) -> None:
     output is normalized by the current batch's moments (is_training=True
     in BOTH moving-average and accumulator modes; the latter writes no
     state during training yet still couples examples — the write-detection
-    hole found in round 2's review). Tags are NOT suppressed by
-    no_state_updates()."""
-    _ctx().tags.add(name)
+    hole found in round 2's review). Tags are scope-qualified (like
+    variables) so a caller can attribute a tag to the module that raised
+    it — a bare name would collapse G's and D's batch norms into one set
+    entry and make "did *D* couple the batch?" undecidable. Tags are NOT
+    suppressed by no_state_updates()."""
+    _ctx().tags.add(_full_name(name))
 
 
 def tags() -> frozenset:

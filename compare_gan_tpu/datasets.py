@@ -139,6 +139,26 @@ class NpzSource:
         return image, int(labels[index]), None
 
 
+def _py_iter_tfrecords(path, start=0):
+    """(offset, payload) pairs of one TFRecord file from byte `start`, in
+    order — the SINGLE pure-Python implementation of the 12-byte TFRecord
+    framing (u64 length, 4B length-crc, payload, 4B payload-crc). Every
+    Python-fallback reader below goes through here; the only other
+    implementation of the format is the native C++ one (dataio.cc)."""
+    import struct
+    with open(path, "rb") as f:
+        f.seek(start)
+        while True:
+            pos = f.tell()
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            f.seek(4, os.SEEK_CUR)  # payload crc
+            yield pos, payload
+
+
 def _read_tfrecord_payloads(path):
     """All record payloads of one TFRecord file, in order (native C++
     index + read when available, pure-Python framing otherwise)."""
@@ -147,16 +167,8 @@ def _read_tfrecord_payloads(path):
         for off in native.index_tfrecords(path):
             yield native.read_record(path, off)
         return
-    import struct
-    with open(path, "rb") as f:
-        while True:
-            header = f.read(12)
-            if len(header) < 12:
-                return
-            (length,) = struct.unpack("<Q", header[:8])
-            payload = f.read(length)
-            f.seek(4, os.SEEK_CUR)  # payload crc
-            yield payload
+    for _, payload in _py_iter_tfrecords(path):
+        yield payload
 
 
 @gin.configurable("replace_labels")
@@ -204,17 +216,9 @@ class TFRecordSource:
                 offsets.extend((path, off)
                                for off in native.index_tfrecords(path))
         else:
-            import struct
             for path in self._files(split):
-                with open(path, "rb") as f:
-                    while True:
-                        pos = f.tell()
-                        header = f.read(12)
-                        if len(header) < 12:
-                            break
-                        (length,) = struct.unpack("<Q", header[:8])
-                        offsets.append((path, pos))
-                        f.seek(length + 4, os.SEEK_CUR)
+                offsets.extend(
+                    (path, pos) for pos, _ in _py_iter_tfrecords(path))
         self._index[split] = offsets
 
     def num_examples(self, split):
@@ -229,12 +233,7 @@ class TFRecordSource:
         if native.available():
             payload = native.read_record(path, pos)
         else:
-            import struct
-            with open(path, "rb") as f:
-                f.seek(pos)
-                (length,) = struct.unpack("<Q", f.read(8))
-                f.seek(4, os.SEEK_CUR)  # crc of length
-                payload = f.read(length)
+            payload = next(_py_iter_tfrecords(path, start=pos))[1]
         ex = tf.train.Example.FromString(payload)
         feats = ex.features.feature
         if "image" in feats and feats["image"].bytes_list.value:
@@ -561,10 +560,16 @@ class ImageDatasetV2:
         return self._seed + hid
 
     # -- iteration ---------------------------------------------------------
-    def _iter_indices(self, split, shuffle, repeat, seed) -> Iterator[int]:
+    def _iter_indices(self, split, shuffle, repeat, seed,
+                      shard_by_host=True) -> Iterator[int]:
         src = self._get_source()
         n = src.num_examples(split)
-        num_hosts, host_id = self._resolved_hosts()
+        # Host sharding is a TRAIN-stream concern (TPUEstimator per-host
+        # infeed); eval pipelines read the FULL split on whichever host
+        # runs them — FID real statistics over a per-host shard would be
+        # silently wrong in a --multihost launch (round-3 review).
+        num_hosts, host_id = (self._resolved_hosts() if shard_by_host
+                              else (1, 0))
         epoch = 0
         while True:
             order = np.arange(n)
@@ -624,7 +629,7 @@ class ImageDatasetV2:
 
     def _iter_examples(self, split, shuffle, repeat, transform, seed,
                        skip_examples=0, num_parallel_calls=8,
-                       filter_fn=None):
+                       filter_fn=None, shard_by_host=True):
         """Per-example transform RNG is keyed by the example's PRE-FILTER
         stream position (not a shared sequential generator), so a resumed
         run produces the byte-identical stream an unbroken run would see.
@@ -654,9 +659,20 @@ class ImageDatasetV2:
             image, label, file_name = src.get(src_split, idx, self._seed)
             if sidecar is not None:
                 # Reference _replace_label: double-check instance identity
-                # before swapping the label (datasets.py:201-223).
+                # before swapping the label (datasets.py:201-223). The
+                # check is MANDATORY — a record without a file_name
+                # feature cannot prove its sidecar row is its own (the
+                # sidecar may have been written in a different read
+                # order), and trusting position silently mislabels every
+                # example (round-3 review).
                 names, labels = sidecar
-                if file_name is not None and names[idx] != file_name:
+                if file_name is None:
+                    raise ValueError(
+                        f"replace_labels requires a 'file_name' feature "
+                        f"on every record of {self._name!r} to verify "
+                        f"sidecar alignment (reference datasets.py:"
+                        f"201-223); record {idx} has none.")
+                if names[idx] != file_name:
                     raise ValueError(
                         f"Label sidecar mismatch at record {idx}: sidecar "
                         f"file_name {names[idx]!r} != dataset "
@@ -674,7 +690,8 @@ class ImageDatasetV2:
 
         def positions():
             position = -1
-            for idx in self._iter_indices(split, shuffle, repeat, seed):
+            for idx in self._iter_indices(split, shuffle, repeat, seed,
+                                          shard_by_host=shard_by_host):
                 position += 1
                 if position < pre_skip:
                     continue
@@ -773,7 +790,7 @@ class ImageDatasetV2:
         it = self._batch(
             self._iter_examples(split, shuffle=False, repeat=False,
                                 transform=self._eval_transform,
-                                seed=self._seed),
+                                seed=self._seed, shard_by_host=False),
             batch_size)
         return _prefetch(it, prefetch)
 
@@ -792,7 +809,7 @@ class ImageDatasetV2:
         # not a batch multiple (e.g. cifar10's 10000 vs batch 64).
         it = self._iter_examples(split, shuffle=False, repeat=False,
                                  transform=self._eval_transform,
-                                 seed=self._seed)
+                                 seed=self._seed, shard_by_host=False)
         for image, _ in it:
             out.append(image)
             if len(out) >= num_samples:
@@ -902,9 +919,11 @@ def _lsun_bedroom(seed):
     holdout = lambda idx: (idx % 100) == 99  # noqa: E731
 
     class LsunDataset(ImageDatasetV2):
-        def _iter_indices(self, split, shuffle, repeat, seed):
+        def _iter_indices(self, split, shuffle, repeat, seed,
+                          shard_by_host=True):
             base = super()._iter_indices(
-                "train", shuffle=shuffle, repeat=repeat, seed=seed)
+                "train", shuffle=shuffle, repeat=repeat, seed=seed,
+                shard_by_host=shard_by_host)
             want_holdout = split != "train"
             for idx in base:
                 if holdout(idx) == want_holdout:

@@ -139,7 +139,28 @@ def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
     from compare_gan_tpu import export as export_lib
 
     spec, params, state = export_lib._load(export_dir)
-    generator = export_lib._build_arch(spec, "gen")
+    with export_lib._export_config_scope(spec):
+        generator = export_lib._build_arch(spec, "gen")
+
+    class _ScopedGenerator:
+        """Forward proxy that traces every generator call inside the
+        export's gin snapshot. The architecture applies its gin knobs
+        lazily at forward time (and eval helpers jit lazily per shape),
+        so without the scope a configured model would silently rebuild
+        with the process's live/default bindings — the exact clobbering
+        _load stopped doing (round-2 advisor finding)."""
+
+        def __init__(self, arch):
+            self._arch = arch
+
+        def __call__(self, *a, **kw):
+            with export_lib._export_config_scope(spec):
+                return self._arch(*a, **kw)
+
+        def __getattr__(self, item):
+            return getattr(self._arch, item)
+
+    generator = _ScopedGenerator(generator)
     if dataset is None:
         if "dataset" not in spec:
             raise ValueError("Pass the dataset used for training.")

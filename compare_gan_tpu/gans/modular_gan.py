@@ -285,10 +285,18 @@ class ModularGAN(AbstractGAN):
             # state writes: accumulator-mode BN normalizes by batch
             # moments during training while writing NO state, so write
             # detection alone has a hole — found in round 2's review.)
-            before = core.tags()
+            # Tags are scope-qualified: G's own BN also tags
+            # "batch_coupled", but under the generator scope, and G's
+            # forward is identical on both paths — only D-side coupling
+            # breaks the fake-only ≡ concat(real, fake) equivalence. A
+            # before/after set diff would be defeated by an earlier
+            # same-scope tag, so we scan the full set for any coupling
+            # tag outside the generator's scope.
             d_fake, d_fake_logits, _ = self.discriminator(
                 generated, y=sampled_y, is_training=is_training)
-            if "batch_coupled" in core.tags() - before:
+            gen_prefix = self.generator.name + "/"
+            if any(t.rsplit("/", 1)[-1] == "batch_coupled"
+                   and not t.startswith(gen_prefix) for t in core.tags()):
                 raise ValueError(
                     "experimental_fake_only_g_loss requires a discriminator "
                     "without batch-coupled normalization: this D normalizes "

@@ -18,7 +18,6 @@ from __future__ import annotations
 import csv
 import dataclasses
 import glob
-import logging
 import os
 import re
 import time
@@ -26,6 +25,7 @@ from typing import Dict, List, Optional, Set
 
 import jax
 import numpy as np
+from absl import logging
 
 from compare_gan_tpu import checkpoint as ckpt_lib
 from compare_gan_tpu import config as gin
@@ -219,7 +219,6 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
 
     # Parameter overview tables (reference modular_gan.py:593-596,
     # utils.py:99-175).
-    from absl import logging
     logging.info("Generator variables:\n%s", utils.get_parameter_overview(
         gan.generator.trainable_variables(ts.params)))
     logging.info("Discriminator variables:\n%s",
@@ -274,8 +273,17 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         if n == loop_steps:
             return train_loop
         if n not in tail_loops:
-            tail_loops[n] = jax.jit(gan.make_train_loop(batch_size, n),
-                                    donate_argnums=(0,))
+            jitted = jax.jit(gan.make_train_loop(batch_size, n),
+                             donate_argnums=(0,))
+            # Same compiler options as the main loop: the tail chunk is
+            # the same program at a shorter scan length, and compiling it
+            # with different flags both wastes a full second compile
+            # configuration and silently drops the measured TPU defaults
+            # (round-3 review).
+            options = mesh_utils.default_tpu_compiler_options()
+            if options:
+                jitted = mesh_utils._aot_on_first_call(jitted, options)
+            tail_loops[n] = jitted
         return tail_loops[n]
 
     steps_next = min(loop_steps, max_steps - step)

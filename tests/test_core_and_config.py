@@ -200,6 +200,14 @@ def test_placeholder_shaped_string_content_survives_parsing():
     assert vals[0] == "__str_0__" and vals[1] == "__str_1__"
 
 
+def test_stray_placeholder_token_is_config_error():
+    """An UNQUOTED placeholder-shaped token (typo / generated config with
+    no string literals) must surface as ConfigError, not IndexError from
+    the unmasker or NameError from eval (round-3 review)."""
+    with pytest.raises(gin.ConfigError, match="placeholder"):
+        gin.parse_config("x.y = __str_9__")
+
+
 def test_config_scope_isolates_and_restores():
     gin.parse_config("scopetest.x = 1")
     with gin.config_scope("scopetest.y = 2"):

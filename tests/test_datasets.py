@@ -191,6 +191,30 @@ def test_host_shards_partition_epoch_exactly(num_hosts, shuffle):
     assert sizes[-1] - sizes[0] <= 1
 
 
+def test_eval_streams_read_full_split_despite_host_sharding():
+    """Round-3 review: host sharding must stay a TRAIN-stream concern. In
+    a multi-host launch the eval pipeline runs on one host and needs the
+    FULL split — a per-host shard would under-deliver (hard error for
+    eval_test_samples == split size) or silently compute FID real stats
+    on 1/N of the data."""
+    datasets.set_fake_dataset(True)
+    ds = datasets.get_dataset("cifar10")
+    ds._num_hosts, ds._host_id = 2, 0
+    n = ds._get_source().num_examples("test")
+    # load_eval_images must deliver the whole split (the fake source caps
+    # eval at 100 examples = exactly eval_test_samples).
+    images = ds.load_eval_images(n)
+    assert len(images) == n
+    # eval_input_fn must also stream the whole split (minus only the
+    # usual final partial batch, which batching always drops).
+    total = sum(len(b["images"]) for b in ds.eval_input_fn(10))
+    assert total == n - n % 10
+    # ...while the train stream stays sharded.
+    idx = list(ds._iter_indices("train", shuffle=False, repeat=False,
+                                seed=0))
+    assert len(idx) == ds._get_source().num_examples("train") // 2
+
+
 def test_default_topology_single_process():
     """Without jax.distributed.initialize the resolved topology must be
     (1, 0) — and must not have forced a device-backend init to find out."""
@@ -258,6 +282,27 @@ def test_replace_labels_hard_with_filename_check(tmp_path, monkeypatch):
         list(ds2._iter_examples("train", shuffle=False, repeat=False,
                                 transform=ds2._train_transform,
                                 seed=ds2._seed, num_parallel_calls=1))
+
+
+def test_replace_labels_requires_file_name_feature(tmp_path, monkeypatch):
+    """Records without a file_name feature cannot prove their sidecar row
+    is their own — positional trust would mislabel every example if the
+    sidecar was written in a different read order, so it must refuse
+    (round-3 review; reference datasets.py:201-223 always verifies)."""
+    from tests.helpers import write_label_sidecar
+    fixture = _tfds_fixture_env(tmp_path, monkeypatch, with_file_name=False)
+    names, labels, _ = fixture["train"]
+    sidecar_dir = tmp_path / "sidecar"
+    sidecar_dir.mkdir()
+    write_label_sidecar(sidecar_dir / "labels-train.tfrecord", names,
+                        [(int(l) + 1) % 10 for l in labels])
+    gin.parse_config(
+        f"replace_labels.file_pattern = '{sidecar_dir}/labels-{{split}}.tfrecord'")
+    ds = datasets.get_dataset("cifar10")
+    with pytest.raises(ValueError, match="file_name"):
+        list(ds._iter_examples("train", shuffle=False, repeat=False,
+                               transform=ds._train_transform, seed=ds._seed,
+                               num_parallel_calls=1))
 
 
 def test_replace_labels_soft_s3gan_sidecar(tmp_path, monkeypatch):

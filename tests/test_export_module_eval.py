@@ -56,6 +56,43 @@ def test_conditional_export_loaders(tmp_path):
     assert logits.shape == (2, 1)
 
 
+def test_evaluate_export_dir_uses_config_snapshot(tmp_path):
+    """evaluate_tfhub_module must trace the generator inside the export's
+    gin snapshot (round-3 review: it built the arch outside
+    _export_config_scope, so in a fresh process the lazy forward rebuilt
+    with DEFAULT bindings and metrics came from a silently wrong
+    network). Oracle: the metrics must be identical whether the process
+    still has the training config or none at all."""
+    from compare_gan_tpu import config as gin
+
+    # batch_norm in G changes the inference forward once moving stats
+    # move off their init (identity) values — hence the train step. A
+    # defaults rebuild (no BN) would skip the normalization entirely.
+    gin.parse_config("G.batch_norm_fn = @batch_norm")
+    ds = datasets.get_dataset("cifar10")
+    gan = ModularGAN(dataset=ds, model_dir=str(tmp_path),
+                     parameters={"architecture": "sndcgan_arch",
+                                 "z_dim": 8, "lambda": 1, "disc_iters": 1})
+    bs = 2
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    rng = np.random.RandomState(0)
+    total = bs * gan.num_sub_steps
+    ts, _ = jax.jit(gan.make_train_step(bs))(
+        ts, {"images": rng.rand(total, 32, 32, 3).astype(np.float32),
+             "labels": rng.randint(0, 10, total).astype(np.int32)})
+    d = str(tmp_path / "export")
+    export.export_module(gan, ts, d)
+
+    task = [fid_score.FIDScoreTask()]
+    with_cfg = eval_gan_lib.evaluate_tfhub_module(
+        d, task, batch_size=8, num_averaging_runs=1)
+    gin.clear_config()  # Fresh-process simulation.
+    without_cfg = eval_gan_lib.evaluate_tfhub_module(
+        d, task, batch_size=8, num_averaging_runs=1)
+    assert with_cfg["fid_score_mean"] == pytest.approx(
+        without_cfg["fid_score_mean"], rel=1e-6)
+
+
 def test_export_restores_gin_configured_architecture(tmp_path):
     """The export must be self-contained: a model trained with gin knobs
     (spectral norm here) must reload identically in a process with NO gin

@@ -261,6 +261,33 @@ def test_fake_only_g_loss_rejects_accumulator_bn_discriminator():
         gan.make_train_step(bs)(ts, _batch(gan, bs))
 
 
+def test_fake_only_g_loss_rejects_coupled_d_despite_bn_in_g():
+    """Round-3 review hole: with batch norm in G as well (every real
+    config), G's forward tags batch coupling under the generator scope
+    BEFORE the guard looks at D — a before/after set diff over bare tag
+    names saw nothing new and let the coupled D through. Scope-qualified
+    tags must still reject the D."""
+    gin.parse_config("G.batch_norm_fn = @batch_norm\n"
+                     "D.batch_norm_fn = @batch_norm")
+    gan, bs = _make_gan(arch="dcgan_arch", batch=2,
+                        experimental_fake_only_g_loss=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    with pytest.raises(ValueError, match="batch-coupled"):
+        gan.make_train_step(bs)(ts, _batch(gan, bs))
+
+
+def test_fake_only_g_loss_allows_bn_in_g_only():
+    """The symmetric positive case: batch norm in G alone is harmless (G's
+    forward is identical on the fast and concat paths), so the guard must
+    NOT fire — only D-side coupling breaks the equivalence."""
+    gin.parse_config("G.batch_norm_fn = @batch_norm")
+    gan, bs = _make_gan(arch="dcgan_arch", batch=2,
+                        experimental_fake_only_g_loss=True)
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    out = gan.make_train_step(bs)(ts, _batch(gan, bs))
+    assert out is not None
+
+
 def test_fake_only_g_loss_with_joint_gen_spied():
     """bench.py's configuration: joint_gen_for_disc + fake_only_g_loss.
     The two graph optimizations touch disjoint sub-graphs (D-step G
