@@ -607,14 +607,25 @@ class ModularGAN(AbstractGAN):
     # -- input -------------------------------------------------------------
 
     def input_batches(self, batch_size, host_id=None, skip_batches=0):
-        """Host iterator of {images, labels} with leading dim
-        batch_size * num_sub_steps (as_estimator's
-        train_batch_size=batch_size*num_sub_steps, modular_gan.py:215-223).
-        Defaults to this process's index so multi-host runs get distinct,
-        deterministic shards (reference per-host seeding,
-        datasets.py:147-172)."""
+        """Host iterator of {images, labels}. batch_size is the GLOBAL
+        per-sub-step batch (as_estimator's train_batch_size =
+        batch_size*num_sub_steps, modular_gan.py:215-223); each host
+        yields its 1/num_processes share, exactly TPUEstimator's per-host
+        input_fn contract (params['batch_size'] = global/num_hosts,
+        reference abstract_gan.py:41-47). The host shards are assembled
+        into the global device batch by mesh_utils.make_batch_sharder via
+        make_array_from_process_local_data. Defaults to this process's
+        index so multi-host runs get distinct, deterministic shards
+        (reference per-host seeding, datasets.py:147-172)."""
         if host_id is None:
             host_id = jax.process_index()
+        total = batch_size * self.num_sub_steps
+        num_hosts = jax.process_count()
+        if total % num_hosts:
+            raise ValueError(
+                f"Global per-step batch {total} (= {batch_size} x "
+                f"{self.num_sub_steps} sub-steps) must divide over "
+                f"{num_hosts} hosts.")
         return self._dataset.train_input_fn(
-            batch_size * self.num_sub_steps, host_id=host_id,
+            total // num_hosts, host_id=host_id,
             skip_batches=skip_batches)

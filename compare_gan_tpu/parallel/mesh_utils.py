@@ -63,10 +63,33 @@ def shard_train_state(ts, mesh: Mesh):
 
 
 def make_batch_sharder(mesh: Mesh, leading_stack: bool = False):
-    sharding = batch_sharding(mesh, leading_stack)
+    """Host batch -> device batch sharded over `data`.
 
-    def shard_batch(batch):
-        return jax.device_put(batch, sharding)
+    Single-process: a plain device_put (the sharding slices the host
+    array over the local devices). Multi-process: each host holds only
+    its 1/num_processes SHARD of the global batch (per-host input
+    pipelines, reference abstract_gan.py:41-47), and device_put would
+    both mis-shape and same-value-assert across processes — the batch is
+    assembled with make_array_from_process_local_data instead, which
+    transfers each host's shard onto its addressable devices and stitches
+    the global array (host p owns rows [p*local, (p+1)*local) because
+    the mesh's data axis enumerates devices in process order)."""
+    sharding = batch_sharding(mesh, leading_stack)
+    if jax.process_count() == 1:
+        def shard_batch(batch):
+            return jax.device_put(batch, sharding)
+    else:
+        batch_dim = 1 if leading_stack else 0
+
+        def assemble(x):
+            global_shape = (x.shape[:batch_dim]
+                            + (x.shape[batch_dim] * jax.process_count(),)
+                            + x.shape[batch_dim + 1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape)
+
+        def shard_batch(batch):
+            return jax.tree_util.tree_map(assemble, batch)
 
     return shard_batch
 

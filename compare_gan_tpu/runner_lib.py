@@ -334,6 +334,12 @@ def _write_image_summaries(writer, gan, ts, batch_size, step):
     modular_gan.py:308-343). Fixed z so TensorBoard shows the same
     latents evolving."""
     try:
+        if jax.process_count() > 1:
+            # The TrainState holds global (cross-process) arrays; a
+            # chief-only jit over them would be a collective the other
+            # processes never join. Params are replicated, so fetch a
+            # host copy and sample on the chief's local device.
+            ts = jax.tree_util.tree_map(np.asarray, ts)
         n = min(64, batch_size * gan.num_sub_steps)
         z = np.asarray(jax.random.uniform(
             jax.random.PRNGKey(42), (n, gan.z_dim), minval=-1.0,
