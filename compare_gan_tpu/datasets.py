@@ -1055,9 +1055,22 @@ def _convex_polygons(seed):
         colors=1, num_classes=None, eval_test_samples=10000, seed=seed)
 
 
+def _convex_polygons_multiclass(seed):
+    """Class-conditional convex polygons: 32x32 {3,4,5,6}-gons, labels =
+    vertex-count class (polygons.write_multiclass_npz_dataset creates the
+    on-disk splits). The conditional convergence-proof dataset: vertex
+    count is visually decidable, so per-class sample grids verify that
+    cBN + projection-D conditioning learned."""
+    return ImageDatasetV2(
+        name="convex_polygons_multiclass",
+        tfds_name="convex_polygons_multiclass", resolution=32,
+        colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
+
+
 DATASETS: Dict[str, Callable] = {
     "celeb_a": _celeba,
     "convex_polygons": _convex_polygons,
+    "convex_polygons_multiclass": _convex_polygons_multiclass,
     "celeb_a_hq_128": _celeba_hq_128,
     "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
     "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,

@@ -100,6 +100,53 @@ def generate_dataset(n_instances: int, n_vertices: int = 3,
     return images[ids, :, :, None], labels[ids]
 
 
+def generate_multiclass_dataset(n_instances: int,
+                                classes=(3, 4, 5, 6),
+                                min_segment_angle: float = 20.0,
+                                scale: float = 0.75, raster_dim: int = 32,
+                                subpixel_res: int = 8,
+                                shift_to_mean: bool = False, seed: int = 0):
+    """Returns (images [N, raster_dim, raster_dim, 1] float32 in [0, 1],
+    labels [N] int in [0, len(classes))), shuffled. Class c rasterizes a
+    classes[c]-gon — the conditional-GAN variant of the paper's
+    triangles-only set: vertex count is visually decidable, so a
+    class-conditional model's per-class sample grids are a direct visual
+    check that label conditioning (cBN + projection D) learned."""
+    classes = tuple(classes)
+    if any(c < 3 for c in classes):
+        raise ValueError("Need more than 2 vertices.")
+    if any(min_segment_angle > 360.0 / c for c in classes):
+        raise ValueError("The minimum segment angle is infeasible.")
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, len(classes), size=n_instances)
+    images = np.stack([
+        generate_convex_polygon(rng, classes[y], min_segment_angle, scale,
+                                raster_dim, subpixel_res, shift_to_mean)
+        for y in labels])
+    ids = rng.permutation(n_instances)
+    return images[ids, :, :, None], labels[ids].astype(np.int64)
+
+
+def write_multiclass_npz_dataset(data_dir: str, n_train: int = 60000,
+                                 n_test: int = 10000, n_holdout: int = 10000,
+                                 seed: int = 0, **kwargs) -> str:
+    """Write 32x32 {3,4,5,6}-gon splits as
+    `<data_dir>/convex_polygons_multiclass/{train,test,holdout}.npz`,
+    ready for `datasets.get_dataset("convex_polygons_multiclass")`."""
+    out = os.path.join(data_dir, "convex_polygons_multiclass")
+    os.makedirs(out, exist_ok=True)
+    total = n_train + n_test + n_holdout
+    images, labels = generate_multiclass_dataset(total, seed=seed, **kwargs)
+    images = np.round(images * 255.0).astype(np.uint8)
+    splits = {"train": (0, n_train),
+              "test": (n_train, n_train + n_test),
+              "holdout": (n_train + n_test, total)}
+    for split, (lo, hi) in splits.items():
+        np.savez(os.path.join(out, f"{split}.npz"),
+                 images=images[lo:hi], labels=labels[lo:hi])
+    return out
+
+
 def write_npz_dataset(data_dir: str, n_train: int = 60000,
                       n_test: int = 10000, n_holdout: int = 10000,
                       seed: int = 0, **kwargs) -> str:

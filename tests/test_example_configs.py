@@ -37,8 +37,9 @@ def test_config_constructs_gan(path):
 def test_expected_configs_shipped():
     names = {os.path.basename(p) for p in CONFIGS}
     assert names == {"biggan_imagenet128.gin", "dcgan_celeba64.gin",
-                     "dcgan_polygons28.gin", "resnet_cifar10.gin",
-                     "resnet_lsun-bedroom128.gin",
+                     "dcgan_polygons28.gin",
+                     "biggan32_polygons_multiclass.gin",
+                     "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
                      "sndcgan_celebahq128.gin"}
 
 

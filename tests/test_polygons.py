@@ -57,3 +57,36 @@ def test_npz_roundtrip_through_registry(tmp_path, monkeypatch):
     assert batch["images"].min() >= 0.0 and batch["images"].max() <= 1.0
     ev = next(ds.eval_input_fn(batch_size=4))
     assert ev["images"].shape == (4, 28, 28, 1)
+
+
+def test_multiclass_dataset_surface():
+    imgs, labels = polygons.generate_multiclass_dataset(
+        32, classes=(3, 4, 5, 6), seed=1)
+    assert imgs.shape == (32, 32, 32, 1) and imgs.dtype == np.float32
+    assert labels.shape == (32,)
+    assert set(labels) <= {0, 1, 2, 3}
+    assert len(set(labels)) > 1  # All classes drawn uniformly at random.
+    # Determinism.
+    imgs2, labels2 = polygons.generate_multiclass_dataset(
+        32, classes=(3, 4, 5, 6), seed=1)
+    np.testing.assert_array_equal(imgs, imgs2)
+    np.testing.assert_array_equal(labels, labels2)
+    # More vertices => closer to the circumscribing circle => larger
+    # mean area (dark = polygon), making the class visually decidable.
+    area = lambda c: np.mean([  # noqa: E731
+        (1.0 - im).mean() for im, y in zip(imgs[..., 0], labels) if y == c])
+    areas = [area(c) for c in range(4) if np.any(labels == c)]
+    assert areas == sorted(areas)
+
+
+def test_multiclass_npz_roundtrip_through_registry(tmp_path, monkeypatch):
+    polygons.write_multiclass_npz_dataset(str(tmp_path), n_train=32,
+                                          n_test=8, n_holdout=8)
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("convex_polygons_multiclass")
+    assert ds.num_classes == 4
+    batch = next(ds.train_input_fn(batch_size=4))
+    assert batch["images"].shape == (4, 32, 32, 1)
+    assert batch["labels"].shape == (4,)
+    assert batch["labels"].max() < 4
