@@ -343,18 +343,18 @@ def _parse_value(text: str):
     # Single-pass unmask: replacement text is NOT rescanned, so a quoted
     # value whose content is itself placeholder-shaped (e.g. "__str_0__")
     # cannot be corrupted by later substitutions.
-    def unmask(m):
-        # A placeholder-shaped token the masker never emitted (a literal
-        # `__str_9__` outside quotes) is a config error, not an
-        # IndexError — and it can't be left for ast.parse to flag
-        # because it parses as a plain identifier.
-        i = int(m.group(1))
-        if i >= len(strings):
-            raise ConfigError(f"Bad value (stray placeholder-like token "
-                              f"{m.group(0)!r}): {text!r}")
-        return strings[i]
-
-    replaced = re.sub(r"__str_(\d+)__", unmask, replaced)
+    # A placeholder-shaped token the masker never emitted (a literal
+    # `__str_N__` outside quotes) is a config error, not a silent
+    # substitution — and it can't be left for ast.parse to flag because
+    # it parses as a plain identifier. The masker emits each index
+    # exactly once, so ANY multiset mismatch (out-of-range index OR a
+    # duplicate of an in-range one) means a stray user token.
+    seen = [int(i) for i in re.findall(r"__str_(\d+)__", replaced)]
+    if sorted(seen) != list(range(len(strings))):
+        raise ConfigError(f"Bad value (stray placeholder-like token "
+                          f"outside a string literal): {text!r}")
+    replaced = re.sub(r"__str_(\d+)__",
+                      lambda m: strings[int(m.group(1))], replaced)
     try:
         tree = ast.parse(replaced, mode="eval")
     except SyntaxError as e:

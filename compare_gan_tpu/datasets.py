@@ -139,12 +139,15 @@ class NpzSource:
         return image, int(labels[index]), None
 
 
-def _py_iter_tfrecords(path, start=0):
+def _py_iter_tfrecords(path, start=0, read_payloads=True):
     """(offset, payload) pairs of one TFRecord file from byte `start`, in
     order — the SINGLE pure-Python implementation of the 12-byte TFRecord
     framing (u64 length, 4B length-crc, payload, 4B payload-crc). Every
     Python-fallback reader below goes through here; the only other
-    implementation of the format is the native C++ one (dataio.cc)."""
+    implementation of the format is the native C++ one (dataio.cc).
+    read_payloads=False yields (offset, None) and SEEKS past each payload
+    — index construction over multi-GB shards must not read (and
+    allocate) every image byte just to learn the offsets."""
     import struct
     with open(path, "rb") as f:
         f.seek(start)
@@ -154,8 +157,12 @@ def _py_iter_tfrecords(path, start=0):
             if len(header) < 12:
                 return
             (length,) = struct.unpack("<Q", header[:8])
-            payload = f.read(length)
-            f.seek(4, os.SEEK_CUR)  # payload crc
+            if read_payloads:
+                payload = f.read(length)
+                f.seek(4, os.SEEK_CUR)  # payload crc
+            else:
+                payload = None
+                f.seek(length + 4, os.SEEK_CUR)
             yield pos, payload
 
 
@@ -218,7 +225,8 @@ class TFRecordSource:
         else:
             for path in self._files(split):
                 offsets.extend(
-                    (path, pos) for pos, _ in _py_iter_tfrecords(path))
+                    (path, pos) for pos, _ in
+                    _py_iter_tfrecords(path, read_payloads=False))
         self._index[split] = offsets
 
     def num_examples(self, split):
@@ -574,8 +582,22 @@ class ImageDatasetV2:
         while True:
             order = np.arange(n)
             if shuffle:
+                # The epoch permutation is seeded host-INDEPENDENTLY
+                # (self._seed, not the per-host stream seed): all hosts
+                # share one permutation and take disjoint stride slices.
+                # Shuffling each host's epoch with its own seed would
+                # break disjointness — the union of stride slices of
+                # DIFFERENT permutations double-samples some examples
+                # and misses others (round-3 review). This is
+                # deliberately STRONGER than the reference, which never
+                # shards: every host there reads the full dataset with
+                # only a per-host shuffle seed decorrelating overlapping
+                # streams (datasets.py:261-291). The per-host `seed`
+                # still keys the per-example transform RNG, so
+                # augmentation streams stay host-distinct.
                 np.random.Generator(
-                    np.random.Philox(key=(seed + 977 * epoch) % (2**63))
+                    np.random.Philox(
+                        key=(self._seed + 977 * epoch) % (2**63))
                 ).shuffle(order)
             # Per-host contiguous shard of the (shuffled) epoch.
             shard = order[host_id::num_hosts]

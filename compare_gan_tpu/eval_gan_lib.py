@@ -184,10 +184,19 @@ def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
 
     shim = _ExportShim()
     ts = _ShimState(params=params, state=state)
-    return _evaluate(shim, ts, eval_tasks, batch_size=batch_size,
-                     num_averaging_runs=num_averaging_runs,
-                     num_accu_examples=num_accu_examples,
-                     export_accu_checkpoint=False, checkpoint_path=None)
+    # The WHOLE evaluation runs inside the export's gin snapshot, not
+    # just generator forwards: z/label sampling (`eval_z` scope) happens
+    # at trace time in _make_sampler / _update_bn_accumulators, and
+    # without the scope a fresh process would draw z from the DEFAULT
+    # distribution (uniform) instead of the training config's (e.g. the
+    # BigGAN recipe's normal) — silently wrong FID/IS (round-3 review).
+    # The _ScopedGenerator proxy stays as a second line of defense for
+    # any generator call traced outside this block.
+    with export_lib._export_config_scope(spec):
+        return _evaluate(shim, ts, eval_tasks, batch_size=batch_size,
+                         num_averaging_runs=num_averaging_runs,
+                         num_accu_examples=num_accu_examples,
+                         export_accu_checkpoint=False, checkpoint_path=None)
 
 
 class _ShimState:

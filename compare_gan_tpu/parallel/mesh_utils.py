@@ -75,23 +75,37 @@ def make_batch_sharder(mesh: Mesh, leading_stack: bool = False):
     the global array (host p owns rows [p*local, (p+1)*local) because
     the mesh's data axis enumerates devices in process order)."""
     sharding = batch_sharding(mesh, leading_stack)
-    if jax.process_count() == 1:
-        def shard_batch(batch):
-            return jax.device_put(batch, sharding)
-    else:
-        batch_dim = 1 if leading_stack else 0
+    batch_dim = 1 if leading_stack else 0
 
-        def assemble(x):
-            global_shape = (x.shape[:batch_dim]
-                            + (x.shape[batch_dim] * jax.process_count(),)
-                            + x.shape[batch_dim + 1:])
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(x), global_shape)
-
-        def shard_batch(batch):
-            return jax.tree_util.tree_map(assemble, batch)
+    def shard_batch(batch):
+        return jax.tree_util.tree_map(
+            lambda x: _put_global(x, sharding, batch_dim), batch)
 
     return shard_batch
+
+
+def _put_global(x, sharding: NamedSharding, batch_dim: int):
+    """Host array -> global device array under `sharding`.
+
+    Single-process: a plain device_put (the sharding slices the host
+    array over the local devices). Multi-process: each host holds only
+    its 1/num_processes SHARD of the global batch dim (per-host input
+    pipelines, reference abstract_gan.py:41-47), and device_put would
+    both mis-shape and same-value-assert across processes — the batch is
+    assembled with make_array_from_process_local_data instead, which
+    transfers each host's shard onto its addressable devices and
+    stitches the global array (host p owns batch rows
+    [p*local, (p+1)*local) because the mesh's leading axis enumerates
+    devices in process order; non-batch dims, e.g. a spatially-sharded
+    image height, must be fully addressable per process, which
+    make_array_from_process_local_data verifies)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    global_shape = (x.shape[:batch_dim]
+                    + (x.shape[batch_dim] * jax.process_count(),)
+                    + x.shape[batch_dim + 1:])
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x), global_shape)
 
 
 def stage_chunk(batch_iter: Iterator, steps: int, shard_batch):
@@ -134,13 +148,22 @@ def compile_train_loop(gan, ts, mesh: Mesh, batch_size: int,
     ts = shard_train_state(ts, mesh)
     # Input shardings propagate from the device_put layouts; XLA partitions
     # the step and inserts the ICI collectives.
-    jitted = jax.jit(loop, donate_argnums=(0,))
+    jitted = jit_train_fn(loop, compiler_options)
+    shard_batch = make_batch_sharder(mesh, leading_stack=True)
+    return jitted, shard_batch, ts
+
+
+def jit_train_fn(fn, compiler_options=None):
+    """jax.jit(fn, donate_argnums=(0,)) with the training compiler
+    options applied (None = default_tpu_compiler_options()). The ONE
+    place the options-aware jit recipe lives: the main scan loop and
+    runner_lib's shorter tail loops must compile with identical flags."""
+    jitted = jax.jit(fn, donate_argnums=(0,))
     if compiler_options is None:
         compiler_options = default_tpu_compiler_options()
     if compiler_options:
         jitted = _aot_on_first_call(jitted, compiler_options)
-    shard_batch = make_batch_sharder(mesh, leading_stack=True)
-    return jitted, shard_batch, ts
+    return jitted
 
 
 def _aot_on_first_call(jitted, compiler_options):
@@ -175,9 +198,9 @@ def compile_train_step(gan, ts, mesh: Mesh, batch_size: int,
 
         def shard_batch(batch):
             return {
-                "images": jax.device_put(batch["images"], sharding),
-                "labels": jax.device_put(
-                    batch["labels"], NamedSharding(mesh, P("data"))),
+                "images": _put_global(batch["images"], sharding, 0),
+                "labels": _put_global(
+                    batch["labels"], NamedSharding(mesh, P("data")), 0),
             }
     else:
         shard_batch = make_batch_sharder(mesh, leading_stack=False)

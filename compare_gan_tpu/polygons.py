@@ -127,17 +127,13 @@ def generate_multiclass_dataset(n_instances: int,
     return images[ids, :, :, None], labels[ids].astype(np.int64)
 
 
-def write_multiclass_npz_dataset(data_dir: str, n_train: int = 60000,
-                                 n_test: int = 10000, n_holdout: int = 10000,
-                                 seed: int = 0, **kwargs) -> str:
-    """Write 32x32 {3,4,5,6}-gon splits as
-    `<data_dir>/convex_polygons_multiclass/{train,test,holdout}.npz`,
-    ready for `datasets.get_dataset("convex_polygons_multiclass")`."""
-    out = os.path.join(data_dir, "convex_polygons_multiclass")
+def _write_splits(out: str, images, labels, n_train: int, n_test: int,
+                  n_holdout: int) -> str:
+    """Write {train,test,holdout}.npz (uint8 images) under `out` — the
+    framework's npz on-disk layout (datasets.NpzSource)."""
     os.makedirs(out, exist_ok=True)
-    total = n_train + n_test + n_holdout
-    images, labels = generate_multiclass_dataset(total, seed=seed, **kwargs)
     images = np.round(images * 255.0).astype(np.uint8)
+    total = n_train + n_test + n_holdout
     splits = {"train": (0, n_train),
               "test": (n_train, n_train + n_test),
               "holdout": (n_train + n_test, total)}
@@ -145,6 +141,19 @@ def write_multiclass_npz_dataset(data_dir: str, n_train: int = 60000,
         np.savez(os.path.join(out, f"{split}.npz"),
                  images=images[lo:hi], labels=labels[lo:hi])
     return out
+
+
+def write_multiclass_npz_dataset(data_dir: str, n_train: int = 60000,
+                                 n_test: int = 10000, n_holdout: int = 10000,
+                                 seed: int = 0, **kwargs) -> str:
+    """Write 32x32 {3,4,5,6}-gon splits as
+    `<data_dir>/convex_polygons_multiclass/{train,test,holdout}.npz`,
+    ready for `datasets.get_dataset("convex_polygons_multiclass")`."""
+    total = n_train + n_test + n_holdout
+    images, labels = generate_multiclass_dataset(total, seed=seed, **kwargs)
+    return _write_splits(
+        os.path.join(data_dir, "convex_polygons_multiclass"),
+        images, labels, n_train, n_test, n_holdout)
 
 
 def write_npz_dataset(data_dir: str, n_train: int = 60000,
@@ -153,15 +162,7 @@ def write_npz_dataset(data_dir: str, n_train: int = 60000,
     """Write the paper's 60k/10k/10k triangle splits as
     `<data_dir>/convex_polygons/{train,test,holdout}.npz` (uint8), ready
     for `datasets.get_dataset("convex_polygons")`."""
-    out = os.path.join(data_dir, "convex_polygons")
-    os.makedirs(out, exist_ok=True)
     total = n_train + n_test + n_holdout
     images, labels = generate_dataset(total, seed=seed, **kwargs)
-    images = np.round(images * 255.0).astype(np.uint8)
-    splits = {"train": (0, n_train),
-              "test": (n_train, n_train + n_test),
-              "holdout": (n_train + n_test, total)}
-    for split, (lo, hi) in splits.items():
-        np.savez(os.path.join(out, f"{split}.npz"),
-                 images=images[lo:hi], labels=labels[lo:hi])
-    return out
+    return _write_splits(os.path.join(data_dir, "convex_polygons"),
+                         images, labels, n_train, n_test, n_holdout)

@@ -273,17 +273,13 @@ def train(gan, run_config: RunConfig, task_manager: TaskManager,
         if n == loop_steps:
             return train_loop
         if n not in tail_loops:
-            jitted = jax.jit(gan.make_train_loop(batch_size, n),
-                             donate_argnums=(0,))
-            # Same compiler options as the main loop: the tail chunk is
-            # the same program at a shorter scan length, and compiling it
-            # with different flags both wastes a full second compile
-            # configuration and silently drops the measured TPU defaults
-            # (round-3 review).
-            options = mesh_utils.default_tpu_compiler_options()
-            if options:
-                jitted = mesh_utils._aot_on_first_call(jitted, options)
-            tail_loops[n] = jitted
+            # Same compiler options as the main loop (jit_train_fn is
+            # the single source of the options-aware jit recipe): the
+            # tail chunk is the same program at a shorter scan length,
+            # and compiling it with different flags would silently drop
+            # the measured TPU defaults (round-3 review).
+            tail_loops[n] = mesh_utils.jit_train_fn(
+                gan.make_train_loop(batch_size, n))
         return tail_loops[n]
 
     steps_next = min(loop_steps, max_steps - step)

@@ -208,6 +208,14 @@ def test_stray_placeholder_token_is_config_error():
         gin.parse_config("x.y = __str_9__")
 
 
+def test_stray_in_range_placeholder_token_is_config_error():
+    """A stray token whose index IS in range of the masked strings must
+    also raise — not silently substitute another value's string literal
+    (round-3 review: ['__str_0__', 'real'] became ['real', 'real'])."""
+    with pytest.raises(gin.ConfigError, match="placeholder"):
+        gin.parse_config('x.y = [__str_0__, "real"]')
+
+
 def test_config_scope_isolates_and_restores():
     gin.parse_config("scopetest.x = 1")
     with gin.config_scope("scopetest.y = 2"):

@@ -51,11 +51,17 @@ def test_train_stream_deterministic():
 
 
 def test_per_host_streams_differ():
-    """seed + host_id decorrelates hosts (reference datasets.py:147-172)."""
-    ds = datasets.get_dataset("cifar10", seed=1)
-    h0 = next(ds.train_input_fn(8, host_id=0))
-    h1 = next(ds.train_input_fn(8, host_id=1))
-    assert not np.array_equal(h0["images"], h1["images"])
+    """Hosts see different data. The reference decorrelates hosts only by
+    shuffle seed (seed + host_id, datasets.py:147-172) and lets their
+    streams OVERLAP; the rebuild is stricter — one shared epoch
+    permutation, disjoint stride shards — so host streams differ because
+    they are disjoint, not merely reordered."""
+    batches = []
+    for h in range(2):
+        ds = datasets.get_dataset("cifar10", seed=1)
+        ds._num_hosts, ds._host_id = 2, h
+        batches.append(next(ds.train_input_fn(8, host_id=h)))
+    assert not np.array_equal(batches[0]["images"], batches[1]["images"])
 
 
 def test_eval_input_not_shuffled_and_finite():
@@ -179,8 +185,13 @@ def test_host_shards_partition_epoch_exactly(num_hosts, shuffle):
     for h in range(num_hosts):
         ds = datasets.get_dataset("cifar10")
         ds._num_hosts, ds._host_id = num_hosts, h
+        # The PRODUCTION stream seed (seed + host_id, what
+        # train_input_fn passes): disjointness must not depend on hosts
+        # sharing a stream seed — the epoch permutation is keyed by the
+        # construction seed alone (round-3 review caught per-host-seeded
+        # permutations double-sampling some examples and missing others).
         idx = list(ds._iter_indices("train", shuffle=shuffle,
-                                    repeat=False, seed=123))
+                                    repeat=False, seed=ds._host_seed()))
         per_host.append(idx)
     n = ds._get_source().num_examples("train")
     all_idx = [i for shard in per_host for i in shard]

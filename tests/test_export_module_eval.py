@@ -68,7 +68,12 @@ def test_evaluate_export_dir_uses_config_snapshot(tmp_path):
     # batch_norm in G changes the inference forward once moving stats
     # move off their init (identity) values — hence the train step. A
     # defaults rebuild (no BN) would skip the normalization entirely.
-    gin.parse_config("G.batch_norm_fn = @batch_norm")
+    # eval_z = normal covers the SAMPLER path: z draws happen at trace
+    # time in _make_sampler, outside any generator forward, so the whole
+    # evaluation must run inside the export's config scope (a defaults
+    # rebuild would sample uniform z — round-3 review).
+    gin.parse_config("G.batch_norm_fn = @batch_norm\n"
+                     "eval_z.distribution_fn = @tf.random.normal")
     ds = datasets.get_dataset("cifar10")
     gan = ModularGAN(dataset=ds, model_dir=str(tmp_path),
                      parameters={"architecture": "sndcgan_arch",

@@ -63,18 +63,29 @@ def test_two_process_cli_train_launch(tmp_path):
     # The subprocesses must NOT inherit this test process's virtual-device
     # XLA flags: each process is one "host" with its own local device(s).
     env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(launcher), str(i), str(port),
-             str(model_dir)],
-            cwd=REPO, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    for proc, out in zip(procs, outs):
-        assert proc.returncode == 0, (
-            f"process {procs.index(proc)} failed:\n{out[-4000:]}")
+    # Subprocess stdout goes to FILES, not pipes: the two processes are
+    # interdependent (distributed collectives), so waiting on one while
+    # the other blocks on a full pipe buffer would deadlock until the
+    # timeout and leak both children.
+    logs = [tmp_path / f"proc{i}.log" for i in range(2)]
+    with logs[0].open("w") as f0, logs[1].open("w") as f1:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(launcher), str(i), str(port),
+                 str(model_dir)],
+                cwd=REPO, env=env, stdout=f, stderr=subprocess.STDOUT)
+            for i, f in enumerate((f0, f1))
+        ]
+        try:
+            for p in procs:
+                p.wait(timeout=300)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+    outs = [log.read_text() for log in logs]
+    for i, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
     # Both processes saw the 2-process global mesh.
     for out in outs:
         assert "of 2." in out
