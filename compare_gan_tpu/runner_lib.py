@@ -33,6 +33,7 @@ from compare_gan_tpu import datasets
 from compare_gan_tpu import hooks as hooks_lib
 from compare_gan_tpu import summaries as summaries_lib
 from compare_gan_tpu import utils
+from compare_gan_tpu.ops import rng as rng_ops
 from compare_gan_tpu.parallel import mesh_utils
 
 
@@ -337,9 +338,13 @@ def _write_image_summaries(writer, gan, ts, batch_size, step):
             # host copy and sample on the chief's local device.
             ts = jax.tree_util.tree_map(np.asarray, ts)
         n = min(64, batch_size * gan.num_sub_steps)
-        z = np.asarray(jax.random.uniform(
-            jax.random.PRNGKey(42), (n, gan.z_dim), minval=-1.0,
-            maxval=1.0))
+        # Draw z through the gan's configured sampler (z.distribution_fn
+        # gin scope) — the BigGAN recipes bind normal z, and a uniform
+        # grid for a normal-z model shows off-distribution samples. The
+        # fixed key keeps the same latents evolving across steps.
+        with rng_ops.rng_context(jax.random.PRNGKey(42)):
+            z = np.asarray(gan.z_generator([n, gan.z_dim],
+                                           name="summary_z"))
         labels = (np.arange(n) % gan.dataset.num_classes
                   if gan.conditional else None)
         images, _ = gan.sample(ts, z, labels=labels)

@@ -25,7 +25,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from compare_gan_tpu import config as gin  # noqa: E402
 from compare_gan_tpu import export  # noqa: E402
+from compare_gan_tpu.ops import rng as rng_ops  # noqa: E402
 from compare_gan_tpu.utils import misc  # noqa: E402
 
 FLAGS = flags.FLAGS
@@ -36,13 +38,29 @@ flags.DEFINE_integer("num_cols", 4, "Sample grid columns.")
 flags.DEFINE_integer("noise_seed", 23, "Latent sampling seed.")
 flags.DEFINE_integer("category", None,
                      "Class id for conditional models (default: random).")
+flags.DEFINE_boolean("per_class_grid", False,
+                     "Conditional models: sample grid uses one row per "
+                     "class (num_rows is ignored) so conditioning is "
+                     "visually checkable row by row.")
 flags.DEFINE_integer("num_interps", 8, "Interpolation steps.")
 flags.mark_flag_as_required("export_dir")
 
 
 def _sample_z(rng, n, z_dim):
-    # Training samples z ~ U(-1, 1) (ModularGAN's z_generator default).
-    return rng.uniform(-1.0, 1.0, size=(n, z_dim)).astype(np.float32)
+    """Sample z per the export's gin config (load_generator re-applies
+    export_config.gin, so the `eval_z`/`z` scopes reflect training). The
+    BigGAN recipes bind z.distribution_fn = @tf.random.normal — sampling
+    the default U(-1, 1) for such a model would be off-distribution."""
+    dist = gin.query("eval_z.distribution_fn",
+                     default=gin.query("z.distribution_fn", default=None))
+    scope = "eval_z" if gin.query("eval_z.distribution_fn",
+                                  default=None) is not None else "z"
+    if dist is rng_ops.normal:
+        stddev = float(gin.query(f"{scope}.stddev", default=1.0))
+        return (stddev * rng.standard_normal((n, z_dim))).astype(np.float32)
+    minval = float(gin.query(f"{scope}.minval", default=-1.0))
+    maxval = float(gin.query(f"{scope}.maxval", default=1.0))
+    return rng.uniform(minval, maxval, size=(n, z_dim)).astype(np.float32)
 
 
 def _sample_labels(rng, n, spec):
@@ -66,13 +84,23 @@ def main(argv):
           f"dataset {spec['dataset']}, conditional={spec['conditional']})")
 
     # 1. Sample grid (colab "Sampling" cell).
-    n = FLAGS.num_rows * FLAGS.num_cols
+    num_rows = FLAGS.num_rows
+    if FLAGS.per_class_grid:
+        if not spec["conditional"]:
+            raise ValueError("--per_class_grid needs a conditional model.")
+        num_rows = spec["num_classes"]
+    n = num_rows * FLAGS.num_cols
     z = _sample_z(rng, n, spec["z_dim"])
-    labels = _sample_labels(rng, n, spec)
+    if FLAGS.per_class_grid:
+        labels = np.repeat(np.arange(num_rows, dtype=np.int32),
+                           FLAGS.num_cols)
+    else:
+        labels = _sample_labels(rng, n, spec)
     images = np.asarray(generate(z) if labels is None else generate(z, labels))
     path = os.path.join(FLAGS.out_dir, "samples.png")
-    misc.save_images(images, path)
-    print(f"Wrote {FLAGS.num_rows}x{FLAGS.num_cols} sample grid to {path}")
+    misc.save_images(misc.image_grid(images, (num_rows, FLAGS.num_cols)),
+                     path)
+    print(f"Wrote {num_rows}x{FLAGS.num_cols} sample grid to {path}")
 
     # 2. Interpolation (colab "Interpolation" cell: linear in z, one
     # category held fixed).

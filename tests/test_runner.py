@@ -155,6 +155,35 @@ def test_image_summary_failure_logs_once(caplog):
         runner_lib._image_summary_failure_logged = False
 
 
+def test_image_summary_z_honors_configured_distribution(tmp_path):
+    """Image-summary latents must come from the gan's z sampler
+    (z.distribution_fn gin scope) — a hardcoded U(-1,1) grid for a
+    normal-z BigGAN recipe shows off-distribution samples (round-3
+    review). Normal draws exceed |1| with certainty over 512 samples."""
+    gin.parse_config("z.distribution_fn = @tf.random.normal")
+    from compare_gan_tpu.gans.modular_gan import ModularGAN
+    gan = ModularGAN(dataset=datasets.get_dataset("cifar10"),
+                     model_dir=str(tmp_path),
+                     parameters={"architecture": "dummy_arch", "z_dim": 64,
+                                 "lambda": 1})
+    seen = {}
+
+    def spy_sample(ts, z, labels=None, **kw):
+        seen["z"] = np.asarray(z)
+        return np.zeros((z.shape[0], 32, 32, 3), np.float32), None
+
+    gan.sample = spy_sample
+
+    class _SpyWriter:
+        def image_grid(self, tag, images, step):
+            seen["tag"] = tag
+
+    runner_lib._write_image_summaries(_SpyWriter(), gan, None, 8, 1)
+    assert seen["tag"] == "fake_images"
+    assert np.abs(seen["z"]).max() > 1.0
+    assert abs(float(seen["z"].std()) - 1.0) < 0.2
+
+
 def test_scores_csv_header_is_stable_union(tmp_path):
     """Late-appearing metric keys must not misalign rows: the file is
     rewritten with the union header (fixes the reference's per-row
