@@ -280,7 +280,11 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
     real_dset.set_num_examples(num_test_examples)
 
     result_dict: Dict[str, float] = {}
+    gan_tasks = [t for t in eval_tasks
+                 if getattr(t, "run_with_gan", None) is not None]
     for task in eval_tasks:
+        if task in gan_tasks:
+            continue
         task_results = [task.run_after_session(fd, real_dset)
                         for fd in fake_dsets]
         for key in task_results[0]:
@@ -288,4 +292,23 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
             result_dict[key + "_mean"] = float(np.mean(scores))
             result_dict[key + "_std"] = float(np.std(scores))
             result_dict[key + "_list"] = "_".join(str(x) for x in scores)
+    if gan_tasks:
+        # Generator/discriminator-access tasks (GILBO, accuracy — the
+        # reference's legacy run_in_session split, eval_task.py:64). These
+        # run once per checkpoint, not per averaging run: they train their
+        # own probes with internal seeds. Raw images go in model scale
+        # [0, 1] (GILBO) or [0, 255] (accuracy's documented contract).
+        train_images = dataset.load_eval_images(
+            num_test_examples, split="train",
+            failure_on_insufficient_examples=False)
+        for task in gan_tasks:
+            out = utils.call_with_accepted_args(
+                task.run_with_gan, gan=gan, ts=ts,
+                train_images=train_images / 255.0,
+                eval_images=real_dset.images / 255.0,
+                test_images=real_dset.images, batch_size=batch_size)
+            for key, value in out.items():
+                result_dict[key + "_mean"] = float(value)
+                result_dict[key + "_std"] = 0.0
+                result_dict[key + "_list"] = str(value)
     return result_dict

@@ -16,14 +16,19 @@ math.
 
 from __future__ import annotations
 
+import os
+import pickle
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from absl import logging
 
 from compare_gan_tpu import core
 from compare_gan_tpu.metrics import eval_task
 from compare_gan_tpu.ops import arch_ops as ops
+from compare_gan_tpu.utils import misc
 
 
 def _regressor(x, z_dim):
@@ -52,6 +57,22 @@ def _log_qz(a, b, z, eps=1e-6):
     affine map u = (z+1)/2 (Jacobian 1/2 per dim ⇒ −log 2 each)."""
     u = jnp.clip((z + 1.0) / 2.0, eps, 1.0 - eps)
     return jnp.sum(_beta_log_prob(a, b, u) - jnp.log(2.0), axis=-1)
+
+
+def _beta_kl(a1, b1, a2, b2):
+    """Elementwise KL(Beta(a1,b1) ‖ Beta(a2,b2)). The reference's
+    consistency metric is the symmetric KL between Independent Beta
+    posteriors (gilbo.py:470-480; KL is invariant to the shared affine
+    z-bijector, so the plain Beta KL is exactly its value)."""
+    lgamma = jax.lax.lgamma
+    digamma = jax.scipy.special.digamma
+
+    def log_beta_fn(a, b):
+        return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+    return (log_beta_fn(a2, b2) - log_beta_fn(a1, b1)
+            + (a1 - a2) * digamma(a1) + (b1 - b2) * digamma(b1)
+            + (a2 - a1 + b2 - b1) * digamma(a1 + b1))
 
 
 def _make_gilbo_steps(gan, z_dim, batch_size, tx):
@@ -93,28 +114,46 @@ def _make_gilbo_steps(gan, z_dim, batch_size, tx):
         return jnp.mean(_log_qz(a, b, z)) - log_pz
 
     @jax.jit
-    def encode_mode(params, x):
-        """Mode of q(z|x): Beta mode mapped back to [−1, 1]."""
+    def gilbo_batch_full(ts, params, k):
+        """gilbo_batch + the posterior params and images, for the
+        eval_dists.p artifact (reference _eval_gilbo, gilbo.py:295-320)."""
+        z, x = gen(ts, k)
         (a, b), _ = core.apply(fwd, params, {}, x)
-        mode = jnp.where((a > 1) & (b > 1),
-                         (a - 1.0) / jnp.maximum(a + b - 2.0, 1e-6), 0.5)
-        return 2.0 * mode - 1.0
+        return jnp.mean(_log_qz(a, b, z)) - log_pz, a, b, x
 
     @jax.jit
-    def reencode_logq(ts, params, z1):
-        x2, _ = gan.sample(ts, z1)
-        (a, b), _ = core.apply(fwd, params, {}, x2)
-        return jnp.mean(_log_qz(a, b, z1)) - log_pz
+    def consistency_batch(ts, params, x, k):
+        """Reference consistency protocol (gilbo.py:377-480): encode the
+        input images, SAMPLE z1 from that posterior, regenerate
+        x2 = G(z1), re-encode, and return the per-example forward/reverse
+        KLs between the two Beta posteriors plus the regenerated batch."""
+        (a1, b1), _ = core.apply(fwd, params, {}, x)
+        u = jnp.clip(jax.random.beta(k, a1, b1), 1e-6, 1.0 - 1e-6)
+        z1 = 2.0 * u - 1.0
+        x2, _ = gan.sample(ts, z1.astype(jnp.float32))
+        (a2, b2), _ = core.apply(fwd, params, {}, x2)
+        kl = jnp.sum(_beta_kl(a1, b1, a2, b2), axis=-1)
+        rkl = jnp.sum(_beta_kl(a2, b2, a1, b1), axis=-1)
+        return kl, rkl, x2, (a1, b1, a2, b2)
 
-    return fwd, gen, train_step, gilbo_batch, encode_mode, reencode_logq
+    return (fwd, gen, train_step, gilbo_batch, gilbo_batch_full,
+            consistency_batch)
 
 
 def train_gilbo(gan, ts, train_images=None, eval_images=None,
                 batch_size=64, train_steps=2000, eval_batches=64,
-                learning_rate=4e-4, seed=0, options=None):
+                learning_rate=4e-4, seed=0, options=None, outdir=None):
     """Train the GILBO regressor against the (frozen) generator and return
-    (gilbo, train_consistency, eval_consistency, self_consistency) in
-    nats, matching the reference's reporting (gilbo.py:217-298).
+    (gilbo, train_consistency, eval_consistency, self_consistency) —
+    GILBO in nats, consistencies as the reference's symmetric Beta-
+    posterior KLs (lower = more consistent; gilbo.py:200-213,470-480).
+
+    With `outdir` set, saves the reference's analysis artifacts there:
+    `eval_dists.p` (posterior params + images of the first ≤1000 eval
+    samples), `{train,eval,self}_consistency_dists.p` (posterior params
+    and per-example KLs), `consistency_image_<mode>_*.png` regeneration
+    strips, and a `z_hist_*.png` per-dimension posterior histogram
+    (reference gilbo.py:295-320,408-420,478-507).
 
     With `options=None` (default) the regressor trains for a fixed
     `train_steps` at constant lr — the fast smoke configuration. Passing
@@ -130,13 +169,15 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     # step 997's key == the self-consistency key; eval keys reused train
     # keys past 9998 steps), so metrics were evaluated on batches the
     # regressor had trained on.
-    init_key, train_key, eval_key, sc_key = (
-        jax.random.fold_in(key, d) for d in range(4))
+    init_key, train_key, eval_key, sc_key, tc_key, ec_key = (
+        jax.random.fold_in(key, d) for d in range(6))
     # lr as optimizer-state hyperparameter so the cycle protocol can
     # decay it without retracing the jitted step.
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
-    (fwd, gen, train_step, gilbo_batch, encode_mode,
-     reencode_logq) = _make_gilbo_steps(gan, z_dim, batch_size, tx)
+    (fwd, gen, train_step, gilbo_batch, gilbo_batch_full,
+     consistency_batch) = _make_gilbo_steps(gan, z_dim, batch_size, tx)
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
 
     _, x0 = gen(ts, jax.random.fold_in(init_key, 0))
     _, params, _ = core.init(fwd, jax.random.fold_in(init_key, 1), x0)
@@ -186,42 +227,124 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
                                            (ai - ais[-2])
                                            * min_ai_step_scale)))
 
-    gilbo = float(np.mean([
-        gilbo_batch(ts, params, jax.random.fold_in(eval_key, i))
-        for i in range(eval_batches)]))
+    # Evaluation pass; the first ≤1000 samples' posteriors and images go
+    # into eval_dists.p for separate analysis (reference gilbo.py:295-320).
+    gilbo_vals, dist_p1s, dist_p2s, dist_images = [], [], [], []
+    save_dist_batches = (-(-1000 // batch_size)) if outdir else 0
+    for i in range(eval_batches):
+        k = jax.random.fold_in(eval_key, i)
+        if i < save_dist_batches:
+            g, a, b, x = gilbo_batch_full(ts, params, k)
+            dist_p1s.append(np.asarray(a))
+            dist_p2s.append(np.asarray(b))
+            dist_images.append(np.asarray(x))
+        else:
+            g = gilbo_batch(ts, params, k)
+        gilbo_vals.append(float(g))
+    gilbo = float(np.mean(np.nan_to_num(gilbo_vals)))
+    if outdir is not None and dist_p1s:
+        with open(os.path.join(outdir, "eval_dists.p"), "wb") as f:
+            pickle.dump(dict(dist_p1=np.concatenate(dist_p1s)[:1000],
+                             dist_p2=np.concatenate(dist_p2s)[:1000],
+                             images=np.concatenate(dist_images)[:1000]), f)
+        _save_z_histogram(gan, ts, params, fwd, eval_key, outdir, 0)
 
-    def consistency(images):
-        """Re-encode → re-generate → re-encode; mean log q of the first
-        code under the second posterior (gilbo.py:300-377's
-        consistency protocol, compacted)."""
+    def consistency(images, mode, mode_key, save_images=20):
+        """Symmetric posterior KL between input encodings and their
+        regenerations (reference _run_gilbo_consistency)."""
         if images is None:
             return float("nan")
-        vals = []
-        for i in range(0, min(len(images), eval_batches * batch_size),
-                       batch_size):
+        kls, rkls, p1s, p2s, cp1s, cp2s = [], [], [], [], [], []
+        for bi, i in enumerate(range(
+                0, min(len(images), eval_batches * batch_size),
+                batch_size)):
             x = jnp.asarray(images[i:i + batch_size], jnp.float32)
             if x.shape[0] < batch_size:
                 break
-            z1 = encode_mode(params, x)
-            vals.append(float(reencode_logq(ts, params, z1)))
-        return float(np.mean(vals)) if vals else float("nan")
+            kl, rkl, x2, (a1, b1, a2, b2) = consistency_batch(
+                ts, params, x, jax.random.fold_in(mode_key, bi))
+            kls.append(np.asarray(kl))
+            rkls.append(np.asarray(rkl))
+            if outdir is not None:
+                p1s.append(np.asarray(a1)), p2s.append(np.asarray(b1))
+                cp1s.append(np.asarray(a2)), cp2s.append(np.asarray(b2))
+                if bi < save_images:
+                    # [B,H,W,C] -> one [B*H, W, C] vertical strip
+                    # (reference gilbo.py:412-419).
+                    strip = np.asarray(x2).reshape(
+                        -1, x2.shape[2], x2.shape[3])
+                    misc.save_images(strip, os.path.join(
+                        outdir, "consistency_image_%s_%06d_%06d.png"
+                        % (mode, i, i + batch_size - 1)))
+        if not kls:
+            return float("nan")
+        kls, rkls = np.concatenate(kls), np.concatenate(rkls)
+        skls = (kls + rkls) / 2.0
+        if outdir is not None:
+            with open(os.path.join(
+                    outdir, "%s_consistency_dists.p" % mode), "wb") as f:
+                pickle.dump(dict(
+                    dist_p1=np.concatenate(p1s),
+                    dist_p2=np.concatenate(p2s),
+                    consist_dist_p1=np.concatenate(cp1s),
+                    consist_dist_p2=np.concatenate(cp2s),
+                    consistency_kl=kls, consistency_rkl=rkls,
+                    consistency_skl=skls), f)
+        return float(np.mean(skls))
 
     def self_consistency():
-        _, x = gen(ts, sc_key)
-        z1 = encode_mode(params, x)
-        return float(reencode_logq(ts, params, z1))
+        _, x = gen(ts, jax.random.fold_in(sc_key, 0))
+        return consistency(np.asarray(x), "self",
+                           jax.random.fold_in(sc_key, 1), save_images=20)
 
-    return (gilbo, consistency(train_images), consistency(eval_images),
-            self_consistency())
+    return (gilbo, consistency(train_images, "train", tc_key),
+            consistency(eval_images, "eval", ec_key), self_consistency())
+
+
+def _save_z_histogram(gan, ts, params, fwd, key, outdir, step):
+    """Per-dimension posterior histogram png (reference _save_z_histograms,
+    gilbo.py:478-507): sample one z, generate, encode, then histogram
+    10,000 posterior draws per dimension against the true z (dashed)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        z = np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, 10**6), (1, gan.z_dim),
+            minval=-1.0, maxval=1.0))
+        x, _ = gan.sample(ts, jnp.asarray(z))
+        (a, b), _ = core.apply(fwd, params, {}, jnp.asarray(x))
+        a, b = np.asarray(a)[0], np.asarray(b)[0]
+        rng = np.random.RandomState(0)
+        draws = 2.0 * rng.beta(a, b, size=(10000, gan.z_dim)) - 1.0
+        n = min(64, gan.z_dim)
+        fig, axs = plt.subplots(8, -(-n // 8), figsize=(15, 10))
+        bins = np.linspace(-1, 1, 70)
+        for j in range(n):
+            axs.flat[j].hist(draws[:, j], bins, histtype="stepfilled",
+                             density=True)
+            axs.flat[j].vlines(z[0, j], 0, 1.0, linestyle="dashed")
+        plt.tight_layout()
+        fig.savefig(os.path.join(outdir, "z_hist_%03d.png" % step))
+        plt.close(fig)
+    except Exception as e:  # Chart rendering must never fail the metric.
+        logging.info("Skipping GILBO z histogram: %r", e)
 
 
 class GILBOTask(eval_task.EvalTask):
     """Compute GILBO and consistency metrics (gilbo.py:52-77)."""
 
-    def __init__(self, outdir=None, task_workdir=None, dataset_name=None):
+    def __init__(self, outdir=None, task_workdir=None, dataset_name=None,
+                 **train_kwargs):
+        """train_kwargs (train_steps, options, batch_size, …) become
+        defaults for train_gilbo — the reference's `options` dict plumbed
+        through run_in_session (gilbo.py:68-74); here they configure the
+        task when it rides eval_gan_lib's generic dispatch."""
         self.outdir = outdir
         self.task_workdir = task_workdir
         self.dataset = dataset_name
+        self._train_kwargs = train_kwargs
 
     def metric_list(self):
         return frozenset(["gilbo", "gilbo_train_consistency",
@@ -235,8 +358,14 @@ class GILBOTask(eval_task.EvalTask):
 
     def run_with_gan(self, gan, ts, train_images=None, eval_images=None,
                      **kwargs):
-        g, tc, ec, sc = train_gilbo(gan, ts, train_images, eval_images,
-                                    **kwargs)
+        """Images in model scale [0, 1] (the generator's output range).
+        Extra kwargs beyond train_gilbo's signature are dropped, so this
+        can sit in eval_gan_lib's generic run_with_gan dispatch."""
+        kwargs = {**self._train_kwargs, **kwargs}
+        kwargs.setdefault("outdir", self.outdir)
+        g, tc, ec, sc = misc.call_with_accepted_args(
+            train_gilbo, gan=gan, ts=ts, train_images=train_images,
+            eval_images=eval_images, **kwargs)
         return {"gilbo": g, "gilbo_train_consistency": tc,
                 "gilbo_eval_consistency": ec,
                 "gilbo_self_consistency": sc}

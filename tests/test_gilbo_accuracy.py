@@ -87,8 +87,8 @@ def test_gilbo_steps_do_not_bake_weights():
     gan = _gan()
     ts = gan.init_state(jax.random.PRNGKey(0), 8)
     tx = optax.adam(1e-3)
-    (fwd, gen, train_step, gilbo_batch, encode_mode,
-     reencode_logq) = gilbo_lib._make_gilbo_steps(gan, gan.z_dim, 8, tx)
+    (fwd, gen, train_step, gilbo_batch, gilbo_batch_full,
+     consistency_batch) = gilbo_lib._make_gilbo_steps(gan, gan.z_dim, 8, tx)
     _, x0 = gen(ts, jax.random.PRNGKey(0))
     _, params, _ = core.init(fwd, jax.random.PRNGKey(1), x0)
     opt_state = tx.init(params)
@@ -100,9 +100,86 @@ def test_gilbo_steps_do_not_bake_weights():
 
     assert const_bytes(train_step, ts, params, opt_state, key) < 1 << 14
     assert const_bytes(gilbo_batch, ts, params, key) < 1 << 14
-    assert const_bytes(encode_mode, params, np.asarray(x0)) < 1 << 14
-    z1 = np.zeros((8, gan.z_dim), np.float32)
-    assert const_bytes(reencode_logq, ts, params, z1) < 1 << 14
+    assert const_bytes(gilbo_batch_full, ts, params, key) < 1 << 14
+    assert const_bytes(consistency_batch, ts, params,
+                       np.asarray(x0), key) < 1 << 14
+
+
+def test_beta_kl_analytic():
+    """KL(Beta(2,2) ‖ Beta(1,1)) = ln 6 − 5/3 (digamma identities);
+    KL between identical distributions is 0. This is the reference's
+    consistency-metric kernel (symmetric Beta KL, gilbo.py:470-480)."""
+    kl_same = float(gilbo_lib._beta_kl(*map(np.float32, (2.5, 3.5, 2.5,
+                                                         3.5))))
+    assert abs(kl_same) < 1e-6
+    kl = float(gilbo_lib._beta_kl(*map(np.float32, (2.0, 2.0, 1.0, 1.0))))
+    assert abs(kl - (np.log(6.0) - 5.0 / 3.0)) < 1e-5
+    # KL is asymmetric and non-negative.
+    rkl = float(gilbo_lib._beta_kl(*map(np.float32, (1.0, 1.0, 2.0, 2.0))))
+    assert rkl > 0 and abs(rkl - kl) > 1e-3
+
+
+def test_gilbo_saves_reference_artifacts(tmp_path):
+    """With outdir set, the task writes the reference's analysis
+    artifacts (gilbo.py:295-320,408-507): eval_dists.p, per-mode
+    consistency pickles, consistency-image strips, z histogram."""
+    import os
+    import pickle
+
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    train_images = np.asarray(gan.dataset.load_eval_images(16)) / 255.0
+    task = gilbo_lib.GILBOTask(outdir=str(tmp_path))
+    out = task.run_with_gan(gan, ts, train_images=train_images,
+                            batch_size=8, train_steps=4, eval_batches=2)
+    assert np.isfinite(out["gilbo_train_consistency"])
+    assert out["gilbo_self_consistency"] >= 0.0  # symmetric KL
+    with open(tmp_path / "eval_dists.p", "rb") as f:
+        dists = pickle.load(f)
+    assert dists["dist_p1"].shape == (16, gan.z_dim)  # 2 batches of 8
+    assert dists["images"].shape[0] == 16
+    for mode in ["train", "self"]:
+        with open(tmp_path / f"{mode}_consistency_dists.p", "rb") as f:
+            c = pickle.load(f)
+        assert (c["consistency_skl"] >= 0).all()
+        assert np.allclose(
+            c["consistency_skl"],
+            (c["consistency_kl"] + c["consistency_rkl"]) / 2.0)
+    pngs = os.listdir(tmp_path)
+    assert any(p.startswith("consistency_image_self_") for p in pngs)
+    assert any(p.startswith("consistency_image_train_") for p in pngs)
+    assert "z_hist_000.png" in pngs
+
+
+def test_gan_tasks_ride_standard_eval_dispatch(tmp_path):
+    """GILBO/accuracy tasks (the reference's legacy run_in_session split)
+    run through evaluate_checkpoint alongside dataset tasks and land in
+    the same result dict — better than the reference, whose OSS release
+    never wires them into eval_gan_lib."""
+    from compare_gan_tpu import checkpoint as ckpt_lib
+    from compare_gan_tpu import eval_gan_lib, eval_utils
+    from compare_gan_tpu.metrics import inception_score
+    from tests.helpers import fake_inception
+
+    eval_utils.set_inception_fn(fake_inception)
+    try:
+        gan = _gan()
+        ts = gan.init_state(jax.random.PRNGKey(0), 8)
+        ckpt_lib.save_checkpoint(str(tmp_path), ts, 0)
+        out = eval_gan_lib.evaluate_checkpoint(
+            gan, str(tmp_path / "model.ckpt-0.npz"),
+            [inception_score.InceptionScoreTask(),
+             gilbo_lib.GILBOTask(train_steps=4, eval_batches=2),
+             accuracy_lib.AccuracyTask()],
+            batch_size=16, num_averaging_runs=1)
+    finally:
+        eval_utils.set_inception_fn(None)
+    assert np.isfinite(out["inception_score_mean"])
+    assert np.isfinite(out["gilbo_mean"])
+    assert out["gilbo_train_consistency_mean"] >= 0.0
+    assert out["gilbo_eval_consistency_mean"] >= 0.0
+    assert 0.0 <= out["test_accuracy_mean"] <= 1.0
+    assert 0.0 <= out["train_accuracy_mean"] <= 1.0
 
 
 def test_accuracy_task_reports_all_keys():
