@@ -69,6 +69,22 @@ class GeneratorConditionNumberTask(eval_task.EvalTask):
                           self._CONDITION_NUMBER_MEAN,
                           self._CONDITION_NUMBER_STD])
 
+    def run_with_gan(self, gan, ts, batch_size=64, seed=42):
+        """Sample one minibatch of z from the gan's prior (the reference
+        analyzes the graph's live z feed, jacobian_conditioning.py:63-91)
+        and analyze G's Jacobian there. Rides eval_gan_lib's generic
+        run_with_gan dispatch."""
+        from compare_gan_tpu.ops import rng as rng_ops
+
+        with rng_ops.rng_context(jax.random.PRNGKey(seed)):
+            z = gan.z_generator([batch_size, gan.z_dim], name="jacobian_z")
+
+        def generator_fn(zb):
+            images, _ = gan.sample(ts, zb)
+            return images
+
+        return self.run_with_generator(generator_fn, np.asarray(z))
+
     def run_with_generator(self, generator_fn, z):
         jac = compute_jacobian(generator_fn, z)
         result = analyze_jacobian(jac)["metric_tensor"][

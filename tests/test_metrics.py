@@ -207,3 +207,26 @@ def test_jacobian_condition_number_identity():
     out = jacobian_conditioning.analyze_jacobian(jac)
     np.testing.assert_allclose(
         out["metric_tensor"]["log_condition_number"], 0.0, atol=1e-4)
+
+
+def test_jacobian_task_run_with_gan():
+    """run_with_gan samples z from the gan's prior and reports the three
+    condition-number keys (reference run_in_session,
+    jacobian_conditioning.py:53-60)."""
+    from compare_gan_tpu import datasets
+    from compare_gan_tpu.gans.modular_gan import ModularGAN
+
+    datasets.set_fake_dataset(True)
+    try:
+        gan = ModularGAN(dataset=datasets.get_dataset("cifar10"),
+                         model_dir="/tmp/jac_task_test",
+                         parameters={"architecture": "dummy_arch",
+                                     "z_dim": 4, "lambda": 1})
+        ts = gan.init_state(jax.random.PRNGKey(0), 4)
+        task = jacobian_conditioning.GeneratorConditionNumberTask()
+        out = task.run_with_gan(gan, ts, batch_size=4)
+    finally:
+        datasets.set_fake_dataset(False)
+    assert set(out) == task.metric_list()
+    assert out["log_condition_number_count"] == 4
+    assert np.isfinite(out["log_condition_number_mean"])
