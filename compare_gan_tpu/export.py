@@ -36,6 +36,48 @@ def _export_config_scope(spec):
     return gin.config_scope(text) if text else contextlib.nullcontext()
 
 
+def snapshot_z(spec, shape, name=None, prefer_eval_scope=False):
+    """Draw z under an export's gin snapshot (must run inside an
+    ops.rng rng_context).
+
+    Resolves the distribution INSIDE the snapshot's config scope, so a
+    fresh process honors the export's bindings rather than its own live
+    config (round-3 review: querying live gin made the demo's
+    z-distribution handling a no-op in real CLI use). With
+    `prefer_eval_scope`, the `eval_z` scope wins whenever the snapshot
+    binds ANY of its knobs (a partial override like `eval_z.stddev`
+    still selects it); otherwise the training `z` scope is replicated
+    (ModularGAN.z_generator's gin surface, modular_gan.py:365-384)."""
+    from compare_gan_tpu import eval_gan_lib
+    from compare_gan_tpu import utils
+    from compare_gan_tpu.ops import rng as rng_ops
+
+    with _export_config_scope(spec):
+        knobs = ("distribution_fn", "minval", "maxval", "stddev")
+        if prefer_eval_scope and any(
+                gin.query(f"eval_z.{k}", default=None) is not None
+                for k in knobs):
+            return eval_gan_lib.z_generator(shape, name=name)
+        return utils.call_with_accepted_args(
+            gin.query("z.distribution_fn", default=rng_ops.uniform),
+            shape=shape,
+            minval=gin.query("z.minval", default=-1.0),
+            maxval=gin.query("z.maxval", default=1.0),
+            stddev=gin.query("z.stddev", default=1.0),
+            name=name)
+
+
+def sample_z(spec, n, seed=0, prefer_eval_scope=True):
+    """Concrete [n, z_dim] float32 latents per the export's snapshot —
+    the demo-facing wrapper over snapshot_z."""
+    from compare_gan_tpu.ops import rng as rng_ops
+
+    with rng_ops.rng_context(jax.random.PRNGKey(seed)):
+        z = snapshot_z(spec, [int(n), int(spec["z_dim"])], name="demo_z",
+                       prefer_eval_scope=prefer_eval_scope)
+    return np.asarray(z, np.float32)
+
+
 def export_module(gan, ts, export_dir: str) -> str:
     """Write <export_dir>/{module.npz, module_spec.json,
     export_config.gin}. The gin snapshot is what makes the export

@@ -53,13 +53,9 @@ from compare_gan_tpu.ops import rng as random
 
 Array = jax.Array
 
-# The reference's configs bind z.distribution_fn to TF RNG symbols
-# (example_configs/biggan_imagenet128.gin); map them to the deterministic
-# TPU-native stream (gans/ops.py:24-25 did the same aliasing).
-gin.register("tf.random.normal", random.normal)
-gin.register("tf.random.uniform", random.uniform)
-gin.register("random_normal", random.normal)
-gin.register("random_uniform", random.uniform)
+# The tf.random.* / random_* gin aliases used by the reference's configs
+# are registered in ops/rng.py so snapshot consumers (export loaders,
+# demo, eval shims) resolve them without importing the trainer stack.
 
 
 @functools.partial(

@@ -332,6 +332,28 @@ def _save_z_histogram(gan, ts, params, fwd, key, outdir, step):
         logging.info("Skipping GILBO z histogram: %r", e)
 
 
+def _check_uniform_z_prior():
+    """GILBO's math assumes z ~ U(-1,1)^d: log p(z) = -d·log 2 and the
+    Beta posterior's support is [-1,1] (reference gilbo.py:116-125). For
+    any other configured prior (e.g. the BigGAN recipes' normal z) the
+    metric would land in scores.csv looking valid while measuring the
+    wrong quantity — refuse loudly instead. Queried from gin at call
+    time: the checkpoint path sees the live config, the export path runs
+    inside the snapshot's config scope (eval_gan_lib)."""
+    from compare_gan_tpu import config as gin
+    from compare_gan_tpu.ops import rng as rng_ops
+
+    dist = gin.query("z.distribution_fn", default=rng_ops.uniform)
+    minval = float(gin.query("z.minval", default=-1.0))
+    maxval = float(gin.query("z.maxval", default=1.0))
+    if dist is not rng_ops.uniform or (minval, maxval) != (-1.0, 1.0):
+        raise ValueError(
+            "GILBO requires z ~ U(-1, 1)^d (its log p(z) and Beta "
+            f"posterior support assume it); the configured prior is "
+            f"{getattr(dist, '__name__', dist)}[{minval}, {maxval}]. "
+            "Remove GILBOTask from eval_tasks for this recipe.")
+
+
 class GILBOTask(eval_task.EvalTask):
     """Compute GILBO and consistency metrics (gilbo.py:52-77)."""
 
@@ -360,8 +382,13 @@ class GILBOTask(eval_task.EvalTask):
                      **kwargs):
         """Images in model scale [0, 1] (the generator's output range).
         Extra kwargs beyond train_gilbo's signature are dropped, so this
-        can sit in eval_gan_lib's generic run_with_gan dispatch."""
-        kwargs = {**self._train_kwargs, **kwargs}
+        can sit in eval_gan_lib's generic run_with_gan dispatch.
+        Constructor train_kwargs WIN over dispatch-supplied kwargs: the
+        eval loop always passes its own batch_size, and silently
+        overriding an explicitly configured GILBO batch size with it
+        would defeat the constructor surface (round-3 review)."""
+        _check_uniform_z_prior()
+        kwargs = {**kwargs, **self._train_kwargs}
         kwargs.setdefault("outdir", self.outdir)
         g, tc, ec, sc = misc.call_with_accepted_args(
             train_gilbo, gan=gan, ts=ts, train_images=train_images,

@@ -95,3 +95,17 @@ def categorical(logits, name: Optional[str] = None) -> jax.Array:
 def randint(shape, minval, maxval, dtype=jnp.int32,
             name: Optional[str] = None) -> jax.Array:
     return jax.random.randint(_next_key(name), shape, minval, maxval, dtype)
+
+
+# The reference's configs bind z.distribution_fn to TF RNG symbols
+# (example_configs/biggan_imagenet128.gin); alias them to the
+# deterministic TPU-native stream (gans/ops.py:24-25 did the same).
+# Registered here — not in modular_gan — so ANY consumer of a gin
+# snapshot (export loaders, demo, eval shims) resolves @tf.random.*
+# references without importing the trainer stack.
+from compare_gan_tpu import config as _gin  # noqa: E402
+
+_gin.register("tf.random.normal", normal)
+_gin.register("tf.random.uniform", uniform)
+_gin.register("random_normal", normal)
+_gin.register("random_uniform", uniform)

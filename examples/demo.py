@@ -25,9 +25,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from compare_gan_tpu import config as gin  # noqa: E402
 from compare_gan_tpu import export  # noqa: E402
-from compare_gan_tpu.ops import rng as rng_ops  # noqa: E402
 from compare_gan_tpu.utils import misc  # noqa: E402
 
 FLAGS = flags.FLAGS
@@ -46,21 +44,14 @@ flags.DEFINE_integer("num_interps", 8, "Interpolation steps.")
 flags.mark_flag_as_required("export_dir")
 
 
-def _sample_z(rng, n, z_dim):
-    """Sample z per the export's gin config (load_generator re-applies
-    export_config.gin, so the `eval_z`/`z` scopes reflect training). The
-    BigGAN recipes bind z.distribution_fn = @tf.random.normal — sampling
-    the default U(-1, 1) for such a model would be off-distribution."""
-    dist = gin.query("eval_z.distribution_fn",
-                     default=gin.query("z.distribution_fn", default=None))
-    scope = "eval_z" if gin.query("eval_z.distribution_fn",
-                                  default=None) is not None else "z"
-    if dist is rng_ops.normal:
-        stddev = float(gin.query(f"{scope}.stddev", default=1.0))
-        return (stddev * rng.standard_normal((n, z_dim))).astype(np.float32)
-    minval = float(gin.query(f"{scope}.minval", default=-1.0))
-    maxval = float(gin.query(f"{scope}.maxval", default=1.0))
-    return rng.uniform(minval, maxval, size=(n, z_dim)).astype(np.float32)
+def _sample_z(spec, n, seed):
+    """Sample z per the export's gin snapshot. The BigGAN recipes bind
+    z.distribution_fn = @tf.random.normal — sampling the default
+    U(-1, 1) for such a model would be off-distribution. Resolution
+    happens inside the snapshot's config scope (export.sample_z), so a
+    fresh demo process honors the export rather than its own (empty)
+    live gin config."""
+    return export.sample_z(spec, n, seed=seed)
 
 
 def _sample_labels(rng, n, spec):
@@ -90,7 +81,7 @@ def main(argv):
             raise ValueError("--per_class_grid needs a conditional model.")
         num_rows = spec["num_classes"]
     n = num_rows * FLAGS.num_cols
-    z = _sample_z(rng, n, spec["z_dim"])
+    z = _sample_z(spec, n, FLAGS.noise_seed)
     if FLAGS.per_class_grid:
         labels = np.repeat(np.arange(num_rows, dtype=np.int32),
                            FLAGS.num_cols)
@@ -104,7 +95,7 @@ def main(argv):
 
     # 2. Interpolation (colab "Interpolation" cell: linear in z, one
     # category held fixed).
-    z_ab = _sample_z(rng, 2, spec["z_dim"])
+    z_ab = _sample_z(spec, 2, FLAGS.noise_seed + 1)
     t = np.linspace(0.0, 1.0, FLAGS.num_interps,
                     dtype=np.float32)[:, None]
     z_interp = (1.0 - t) * z_ab[:1] + t * z_ab[1:]

@@ -42,21 +42,38 @@ def _export(tmp_path, bindings=""):
 
 def test_sample_z_honors_export_normal_binding(tmp_path):
     """BigGAN recipes bind z.distribution_fn = @tf.random.normal; demo
-    sampling U(-1,1) for such an export would be off-distribution. After
-    load_generator re-applies the snapshot, _sample_z must draw normal
-    (values beyond |1| are a certain signature over 512 draws)."""
+    sampling U(-1,1) for such an export would be off-distribution. The
+    snapshot's binding must win even in a FRESH process with empty live
+    gin config (round-3 review: the old query-live-bindings version was
+    a no-op in real CLI use), so clear the config before sampling."""
     d = _export(tmp_path, "z.distribution_fn = @tf.random.normal")
-    export.load_generator(d)
-    z = demo._sample_z(np.random.RandomState(0), 64, 8)
+    gin.clear_config()
+    _, spec = export.load_generator(d)
+    z = demo._sample_z(spec, 64, seed=0)
     assert z.dtype == np.float32
+    assert z.shape == (64, 8)
     assert np.abs(z).max() > 1.0
     assert abs(float(z.std()) - 1.0) < 0.15
 
 
+def test_sample_z_partial_eval_scope_override(tmp_path):
+    """A snapshot binding only eval_z.stddev (no eval_z.distribution_fn)
+    still selects the eval_z scope — whose default distribution is
+    uniform — so the stddev knob is inert but the draw stays U(-1,1)
+    (reference eval_z semantics: no fallback merging with z.*)."""
+    d = _export(tmp_path, "z.distribution_fn = @tf.random.normal\n"
+                          "eval_z.stddev = 2.0")
+    gin.clear_config()
+    _, spec = export.load_generator(d)
+    z = demo._sample_z(spec, 64, seed=0)
+    assert np.abs(z).max() <= 1.0
+
+
 def test_sample_z_default_uniform(tmp_path):
     d = _export(tmp_path)
-    export.load_generator(d)
-    z = demo._sample_z(np.random.RandomState(0), 64, 8)
+    gin.clear_config()
+    _, spec = export.load_generator(d)
+    z = demo._sample_z(spec, 64, seed=0)
     assert np.abs(z).max() <= 1.0
 
 

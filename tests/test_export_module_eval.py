@@ -176,3 +176,21 @@ def test_two_exports_with_different_configs_coexist(tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gen_sn(z)), want[0],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_evaluate_export_dir_runs_gan_tasks(tmp_path):
+    """Generator/discriminator-access tasks (GILBO, accuracy, Jacobian
+    conditioning) work through the tfhub-module path: exports carry both
+    G and D params, so the shim exposes sample/z_generator/discriminator
+    (round-3 review: these previously died with AttributeError)."""
+    from compare_gan_tpu.metrics import accuracy, gilbo, \
+        jacobian_conditioning
+    d = _export(tmp_path)
+    out = eval_gan_lib.evaluate_tfhub_module(
+        d, [jacobian_conditioning.GeneratorConditionNumberTask(),
+            gilbo.GILBOTask(train_steps=2, eval_batches=1),
+            accuracy.AccuracyTask()],
+        batch_size=8, num_averaging_runs=1)
+    for key in ("log_condition_number_mean_mean", "gilbo_mean",
+                "fake_accuracy_mean"):
+        assert key in out and np.isfinite(float(out[key])), (key, out)

@@ -202,3 +202,40 @@ def test_accuracy_requires_enough_train_images():
     with pytest.raises(ValueError):
         task.run_with_gan(gan, ts, test_images, max_train_examples=10,
                           num_repeat=1)
+
+
+def test_gilbo_rejects_non_uniform_z_prior():
+    """GILBO's log p(z) = -d log 2 and Beta posterior assume z ~ U(-1,1);
+    a normal-z recipe (the BigGAN configs) must be refused loudly instead
+    of writing a wrong-quantity metric into scores.csv."""
+    from compare_gan_tpu import config as gin
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    gin.parse_config("z.distribution_fn = @tf.random.normal")
+    try:
+        with pytest.raises(ValueError, match="U\\(-1, 1\\)"):
+            gilbo_lib.GILBOTask().run_with_gan(gan, ts, batch_size=8,
+                                               train_steps=2,
+                                               eval_batches=1)
+    finally:
+        gin.clear_config()
+
+
+def test_gilbo_constructor_kwargs_win_over_dispatch(monkeypatch):
+    """The eval loop always passes its own batch_size through the
+    generic dispatch; an explicitly configured GILBOTask(batch_size=...)
+    must not be silently overridden by it."""
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    seen = {}
+    orig = gilbo_lib.train_gilbo
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(gilbo_lib, "train_gilbo", spy)
+    task = gilbo_lib.GILBOTask(batch_size=4, train_steps=2, eval_batches=1)
+    out = task.run_with_gan(gan, ts, batch_size=16)
+    assert seen["batch_size"] == 4
+    assert np.isfinite(out["gilbo"])
