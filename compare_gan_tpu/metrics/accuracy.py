@@ -12,6 +12,7 @@ import numpy as np
 
 from compare_gan_tpu import core
 from compare_gan_tpu.metrics import eval_task
+from compare_gan_tpu.ops import rng as random
 
 
 class AccuracyTask(eval_task.EvalTask):
@@ -75,11 +76,16 @@ class AccuracyTask(eval_task.EvalTask):
                 test_p = np.asarray(d_fn(test_images[sl] / 255.0))
                 train_p = np.asarray(d_fn(train_subset[sl] / 255.0))
                 # Fresh z per (repeat, batch) — keying on i alone would
-                # make every repeat score identical fake samples.
-                z = np.asarray(jax.random.uniform(
-                    jax.random.fold_in(
-                        jax.random.fold_in(sampler_key, rep), i),
-                    (batch_size, gan.z_dim), minval=-1.0, maxval=1.0))
+                # make every repeat score identical fake samples. Drawn
+                # through the gan's configured prior (reference
+                # accuracy.py:105 uses gan.z_generator), not a hardcoded
+                # uniform: a normal-z recipe's fakes would otherwise be
+                # off-distribution and D's fake accuracy inflated.
+                with random.rng_context(
+                        jax.random.fold_in(
+                            jax.random.fold_in(sampler_key, rep), i)):
+                    z = np.asarray(gan.z_generator(
+                        [batch_size, gan.z_dim], name="accuracy_z"))
                 fakes, _ = gan.sample(ts, z)
                 fake_p = np.asarray(d_fn(np.asarray(fakes)))
                 accs["test"].append((test_p >= 0.5).mean())

@@ -239,3 +239,27 @@ def test_gilbo_constructor_kwargs_win_over_dispatch(monkeypatch):
     out = task.run_with_gan(gan, ts, batch_size=16)
     assert seen["batch_size"] == 4
     assert np.isfinite(out["gilbo"])
+
+
+def test_accuracy_fakes_use_configured_z_prior():
+    """Fake samples for D-accuracy must come from the gan's configured
+    prior (reference accuracy.py:105 draws via gan.z_generator), not a
+    hardcoded U(-1,1)."""
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    drawn = []
+    orig = gan.z_generator
+
+    def spy(shape, **kwargs):
+        z = orig(shape, **kwargs)
+        drawn.append(np.asarray(z))
+        return z
+
+    gan.z_generator = spy
+    test_images = np.random.RandomState(0).randint(
+        0, 255, size=(16, 32, 32, 3)).astype(np.float32)
+    accuracy_lib.AccuracyTask().run_with_gan(
+        gan, ts, test_images, max_train_examples=64, num_repeat=1,
+        batch_size=8)
+    assert drawn, "accuracy never drew z through gan.z_generator"
+    assert all(z.shape == (8, 4) for z in drawn)
