@@ -25,8 +25,9 @@ import numpy as np
 
 # Persistent compile cache: BigGAN-128 XLA compilation is minutes; cache it
 # across bench invocations.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from compare_gan_tpu.utils import misc  # noqa: E402
+
+misc.enable_persistent_compile_cache()
 
 # Estimated reference (TF-TPU compare_gan) per-core steps/sec for the
 # biggan_imagenet128 recipe at per-core batch 16. No number is published;

@@ -93,6 +93,8 @@ def _get_task_manager():
 
 
 def main(unused_argv):
+    from compare_gan_tpu.utils import misc
+    misc.enable_persistent_compile_cache()
     if FLAGS.multihost:
         # Must run before anything touches jax devices; afterwards
         # jax.process_index()/process_count() drive chief-only writes

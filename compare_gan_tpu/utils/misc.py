@@ -15,6 +15,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def enable_persistent_compile_cache(cache_dir=None):
+    """Production default for every entry point (main, bench, demo,
+    tools): persist XLA compilations across processes. BigGAN-size
+    graphs take 15-25 minutes to compile over a tunneled TPU backend —
+    without this every CLI invocation pays that again. Respects an
+    explicit JAX_COMPILATION_CACHE_DIR env var or a prior jax.config
+    setting; call before the first jit compilation."""
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/jax_compile_cache")
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+
+
 def call_with_accepted_args(fn, **kwargs):
     """Call fn with only the kwargs its signature accepts
     (compare_gan/utils.py:92-96) — lets gin configs target any fn."""

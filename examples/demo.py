@@ -64,6 +64,7 @@ def _sample_labels(rng, n, spec):
 
 def main(argv):
     del argv
+    misc.enable_persistent_compile_cache()
     misc.check_folder(FLAGS.out_dir)
     rng = np.random.RandomState(FLAGS.noise_seed)
 

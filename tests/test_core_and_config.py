@@ -224,3 +224,18 @@ def test_config_scope_isolates_and_restores():
         assert gin.query("scopetest.y") == 2
     assert gin.query("scopetest.x") == 1
     assert gin.query("scopetest.y", default=None) is None
+
+
+def test_enable_persistent_compile_cache_no_clobber():
+    """Entry points default the XLA compile cache on; an explicit prior
+    jax.config setting must win (no silent clobber)."""
+    import jax
+    from compare_gan_tpu.utils import misc
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        misc.enable_persistent_compile_cache("/tmp/cache_a")
+        first = jax.config.jax_compilation_cache_dir
+        misc.enable_persistent_compile_cache("/tmp/cache_b")
+        assert jax.config.jax_compilation_cache_dir == first
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)

@@ -11,8 +11,9 @@ import sys
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from compare_gan_tpu.utils import misc  # noqa: E402
+
+misc.enable_persistent_compile_cache()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
