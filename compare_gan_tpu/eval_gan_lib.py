@@ -310,11 +310,21 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
             # Bound host memory (eval_gan_lib.py:179-183).
             fake_dset.discard_images()
 
-    real_dset = eval_utils.EvalDataSample(
-        dataset.load_eval_images(num_test_examples))
-    real_dset.activations, real_dset.logits = (
-        eval_utils.inception_transform_np(real_dset.images, batch_size))
-    real_dset.set_num_examples(num_test_examples)
+    # Real-data images + Inception stats are checkpoint-invariant: cache
+    # them per gan so continuous_eval doesn't reload the eval split and
+    # re-extract features for every checkpoint (~a third of the
+    # per-checkpoint eval cost at ImageNet sizes). The reference
+    # recomputed them per evaluate_tfhub_module call.
+    real_key = ("real_dset", dataset.name, num_test_examples, batch_size)
+    real_cache = _jit_cache(gan)
+    if real_key not in real_cache:
+        real_dset = eval_utils.EvalDataSample(
+            dataset.load_eval_images(num_test_examples))
+        real_dset.activations, real_dset.logits = (
+            eval_utils.inception_transform_np(real_dset.images, batch_size))
+        real_dset.set_num_examples(num_test_examples)
+        real_cache[real_key] = real_dset
+    real_dset = real_cache[real_key]
 
     result_dict: Dict[str, float] = {}
     gan_tasks = [t for t in eval_tasks

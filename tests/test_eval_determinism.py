@@ -51,3 +51,28 @@ def test_different_checkpoints_differ(tmp_path):
     a = eval_gan_lib.evaluate_checkpoint(gan1, path1, TASKS, batch_size=16)
     b = eval_gan_lib.evaluate_checkpoint(gan2, path2, TASKS, batch_size=16)
     assert a["fid_score_mean"] != b["fid_score_mean"]
+
+
+def test_real_stats_cached_across_checkpoints(tmp_path, monkeypatch):
+    """continuous_eval evaluates many checkpoints with one gan; the real
+    split's images/Inception stats are checkpoint-invariant and must be
+    loaded once, not per checkpoint."""
+    gan, path = _make_ckpt(tmp_path, seed=1)
+    calls = []
+    orig = gan.dataset.load_eval_images
+
+    def spy(*args, **kwargs):
+        calls.append((args, kwargs))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(gan.dataset, "load_eval_images", spy)
+    tasks = [fid_score.FIDScoreTask()]
+    a = eval_gan_lib.evaluate_checkpoint(gan, path, tasks, batch_size=16,
+                                         num_averaging_runs=1,
+                                         export_accu_checkpoint=False)
+    n_first = len(calls)
+    b = eval_gan_lib.evaluate_checkpoint(gan, path, tasks, batch_size=16,
+                                         num_averaging_runs=1,
+                                         export_accu_checkpoint=False)
+    assert len(calls) == n_first, "real split reloaded on second eval"
+    assert a["fid_score_mean"] == b["fid_score_mean"]
