@@ -188,7 +188,12 @@ def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
                     export_lib._build_arch(spec, "disc"))
 
         def _inference_params(self, ts=None, use_ema=None):
-            return params
+            # MUST pass through the (possibly traced) ts params: gan
+            # tasks jit with ts as an argument, and returning the
+            # closed-over concrete dict would bake the full weight set
+            # into the HLO as constants (the axon >50 MB program limit;
+            # round-3 review verified the traced params were dead).
+            return params if ts is None else ts.params
 
         def _get_one_hot_labels(self, labels):
             return jax.nn.one_hot(labels, dataset.num_classes)
@@ -198,8 +203,18 @@ def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
             # the snapshot — mirrors ModularGAN.z_generator.
             return export_lib.snapshot_z(spec, shape, name=name)
 
+        def _require_labels(self, labels, what):
+            if self.conditional and labels is None:
+                raise ValueError(
+                    f"Conditional export: {what} needs labels (the "
+                    "legacy gan-tasks — GILBO/accuracy/Jacobian — are "
+                    "label-free and only support unconditional models, "
+                    "as in the reference).")
+
         def sample(self, ts, z, labels=None, use_ema=None,
                    is_training=False):
+            self._require_labels(labels, "sample()")
+
             def fwd():
                 y = (self._get_one_hot_labels(labels)
                      if self.conditional else None)
@@ -208,6 +223,8 @@ def evaluate_tfhub_module(export_dir, eval_tasks, dataset=None,
             return core.apply(fwd, self._inference_params(ts), ts.state)
 
         def discriminate(self, ts, images, labels=None):
+            self._require_labels(labels, "discriminate()")
+
             def fwd():
                 y = (self._get_one_hot_labels(labels)
                      if self.conditional else None)
@@ -268,6 +285,41 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
     num_test_examples = dataset.eval_test_samples
     num_batches = int(np.ceil(num_test_examples / batch_size))
 
+    # Validate gan-task preconditions BEFORE paying the checkpoint's
+    # accu-fill + sampling + Inception cost: a misconfigured task (GILBO
+    # on a normal-z recipe, any legacy task on a conditional model)
+    # would otherwise abort the eval loop only after the full eval of
+    # the first checkpoint (round-3 review).
+    gan_tasks = [t for t in eval_tasks
+                 if getattr(t, "run_with_gan", None) is not None]
+    if gan_tasks and gan.conditional:
+        raise ValueError(
+            "The generator/discriminator-access tasks "
+            f"({[type(t).__name__ for t in gan_tasks]}) are "
+            "label-free and only support unconditional models (the "
+            "reference's legacy run_in_session metrics predate "
+            "conditional BigGAN). Remove them from eval_tasks.")
+    for task in gan_tasks:
+        validate = getattr(task, "validate_gan", None)
+        if validate is not None:
+            validate(gan)
+
+    # Each image kwarg is materialized only if some gan task's signature
+    # accepts it — the train split stream and the /255 float copies are
+    # ~hundreds of MB at ImageNet eval sizes and e.g.
+    # GeneratorConditionNumberTask consumes none of them. A **kwargs
+    # signature receives EVERY kwarg from call_with_accepted_args, so
+    # VAR_KEYWORD must count as accepting all of them (round-3 review).
+    _image_kwarg_names = ("train_images", "eval_images", "test_images")
+    accepted = set()
+    for task in gan_tasks:
+        sig = inspect.signature(task.run_with_gan)
+        accepted |= set(sig.parameters)
+        if any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values()):
+            accepted |= set(_image_kwarg_names)
+    need_real_images = bool({"eval_images", "test_images"} & accepted)
+
     state, had_accus = _update_bn_accumulators(
         gan, ts, batch_size, num_accu_examples=num_accu_examples)
     if had_accus:
@@ -310,25 +362,33 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
             # Bound host memory (eval_gan_lib.py:179-183).
             fake_dset.discard_images()
 
-    # Real-data images + Inception stats are checkpoint-invariant: cache
-    # them per gan so continuous_eval doesn't reload the eval split and
-    # re-extract features for every checkpoint (~a third of the
-    # per-checkpoint eval cost at ImageNet sizes). The reference
-    # recomputed them per evaluate_tfhub_module call.
-    real_key = ("real_dset", dataset.name, num_test_examples, batch_size)
+    # Real-data Inception stats are checkpoint-invariant (and batch-size
+    # invariant — batch_size only chunks the transform): cache them per
+    # gan so continuous_eval doesn't reload the eval split and re-extract
+    # features for every checkpoint (~a third of the per-checkpoint eval
+    # cost at ImageNet sizes). The reference recomputed them per
+    # evaluate_tfhub_module call. Raw [0,255] images (~GBs at
+    # ImageNet-128) are kept in the cache only while a gan task's
+    # signature wants them; FID/IS/KID/PRD read just activations/logits.
+    real_key = ("real_dset", dataset.name, num_test_examples)
     real_cache = _jit_cache(gan)
-    if real_key not in real_cache:
+    real_dset = real_cache.get(real_key)
+    if real_dset is None:
         real_dset = eval_utils.EvalDataSample(
             dataset.load_eval_images(num_test_examples))
         real_dset.activations, real_dset.logits = (
             eval_utils.inception_transform_np(real_dset.images, batch_size))
         real_dset.set_num_examples(num_test_examples)
         real_cache[real_key] = real_dset
-    real_dset = real_cache[real_key]
+    elif need_real_images and not len(real_dset.images):
+        # A previous eval of this gan cached stats without images; a
+        # GILBO/accuracy-style task now needs them — reload images only.
+        real_dset.images = dataset.load_eval_images(num_test_examples)
+        real_dset.set_num_examples(num_test_examples)
+    if not need_real_images:
+        real_dset.discard_images()
 
     result_dict: Dict[str, float] = {}
-    gan_tasks = [t for t in eval_tasks
-                 if getattr(t, "run_with_gan", None) is not None]
     for task in eval_tasks:
         if task in gan_tasks:
             continue
@@ -345,14 +405,8 @@ def _evaluate(gan, ts, eval_tasks, batch_size, num_averaging_runs,
         # run once per checkpoint, not per averaging run: they train their
         # own probes with internal seeds. Raw images go in model scale
         # [0, 1] (GILBO) or [0, 255] (accuracy's documented contract).
-        # Each image kwarg is materialized only if some task's signature
-        # accepts it — the train split stream and the /255 float copies
-        # are ~hundreds of MB at ImageNet eval sizes and e.g.
-        # GeneratorConditionNumberTask consumes none of them.
-        accepted = set()
-        for task in gan_tasks:
-            accepted |= set(
-                inspect.signature(task.run_with_gan).parameters)
+        # `accepted` (incl. the VAR_KEYWORD widening) was computed up
+        # front, before the real cache decided whether to keep images.
         image_kwargs = {}
         if "train_images" in accepted:
             image_kwargs["train_images"] = dataset.load_eval_images(

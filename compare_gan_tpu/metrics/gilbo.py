@@ -378,6 +378,14 @@ class GILBOTask(eval_task.EvalTask):
             "GILBOTask needs generator access; call run_with_gan(gan, ts) "
             "(legacy run_in_session API in the reference, gilbo.py:69-77).")
 
+    def validate_gan(self, gan):
+        """Precondition hook called by eval_gan_lib BEFORE a checkpoint's
+        accu-fill/sampling/Inception cost: a normal-z recipe with
+        GILBOTask in eval_tasks must fail fast, not after the first
+        checkpoint's full eval (round-3 review)."""
+        del gan  # The check is config-level: z prior, not weights.
+        _check_uniform_z_prior()
+
     def run_with_gan(self, gan, ts, train_images=None, eval_images=None,
                      **kwargs):
         """Images in model scale [0, 1] (the generator's output range).

@@ -194,3 +194,50 @@ def test_evaluate_export_dir_runs_gan_tasks(tmp_path):
     for key in ("log_condition_number_mean_mean", "gilbo_mean",
                 "fake_accuracy_mean"):
         assert key in out and np.isfinite(float(out[key])), (key, out)
+
+
+def test_export_shim_sample_reads_traced_params(tmp_path):
+    """The shim's _inference_params must pass through the (possibly
+    traced) ts.params: gan tasks jit with ts as an ARGUMENT (that is why
+    _ShimState is a registered pytree), and returning the closed-over
+    concrete dict bakes the full weight set into the HLO as constants —
+    rejected by the axon tunnel for BigGAN-size programs (round-3 review
+    verified the traced params were dead: zeroing ts.params did not
+    change the jitted output)."""
+    d = _export(tmp_path)
+    cap = {}
+
+    class _Capture:
+        def metric_list(self):
+            return frozenset(["cap"])
+
+        def run_with_gan(self, gan, ts):
+            cap["gan"], cap["ts"] = gan, ts
+            return {"cap": 0.0}
+
+    eval_gan_lib.evaluate_tfhub_module(d, [_Capture()], batch_size=8,
+                                       num_averaging_runs=1)
+    gan, ts = cap["gan"], cap["ts"]
+    z = np.asarray(np.random.RandomState(0).randn(4, 8), np.float32)
+    f = jax.jit(lambda t: gan.sample(t, z)[0])
+    out_real = np.asarray(f(ts))
+    zeroed = type(ts)(params=jax.tree_util.tree_map(np.zeros_like,
+                                                    ts.params),
+                      state=ts.state)
+    out_zero = np.asarray(f(zeroed))
+    assert not np.allclose(out_real, out_zero), \
+        "zeroing the traced params did not change the jitted sample: " \
+        "the shim is reading closure weights, not ts.params"
+
+
+def test_gan_tasks_rejected_on_conditional_models(tmp_path):
+    """The legacy generator/discriminator-access tasks are label-free;
+    on a conditional export they would die mid-eval with an obscure
+    one_hot(None) error (round-3 review repro) — reject up front with an
+    actionable message instead."""
+    from compare_gan_tpu.metrics import jacobian_conditioning
+    d = _export(tmp_path, conditional=True)
+    with pytest.raises(ValueError, match="unconditional"):
+        eval_gan_lib.evaluate_tfhub_module(
+            d, [jacobian_conditioning.GeneratorConditionNumberTask()],
+            batch_size=8, num_averaging_runs=1)

@@ -263,3 +263,35 @@ def test_accuracy_fakes_use_configured_z_prior():
         batch_size=8)
     assert drawn, "accuracy never drew z through gan.z_generator"
     assert all(z.shape == (8, 4) for z in drawn)
+
+
+def test_gilbo_misconfig_fails_before_eval_cost(tmp_path, monkeypatch):
+    """A normal-z recipe with GILBOTask in eval_tasks must fail at the
+    START of the checkpoint eval, not after the full accu-fill +
+    sampling + Inception cost (round-3 review: _check_uniform_z_prior
+    fired per-checkpoint inside run_with_gan, after all FID work, and
+    runner_lib catches only NanFoundError — the eval loop died with the
+    checkpoint's results discarded). validate_gan is the up-front
+    precondition hook eval_gan_lib calls before any eval work."""
+    from compare_gan_tpu import checkpoint as ckpt_lib
+    from compare_gan_tpu import config as gin
+    from compare_gan_tpu import eval_gan_lib
+
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    path = ckpt_lib.save_checkpoint(str(tmp_path), ts, 0)
+
+    def too_late(*args, **kwargs):
+        raise AssertionError("eval work started before task validation")
+
+    monkeypatch.setattr(eval_gan_lib, "_update_bn_accumulators", too_late)
+    gin.parse_config("z.distribution_fn = @tf.random.normal")
+    try:
+        with pytest.raises(ValueError, match="U\\(-1, 1\\)"):
+            eval_gan_lib.evaluate_checkpoint(
+                gan, path,
+                [gilbo_lib.GILBOTask(train_steps=2, eval_batches=1)],
+                batch_size=8, num_averaging_runs=1,
+                export_accu_checkpoint=False)
+    finally:
+        gin.clear_config()
