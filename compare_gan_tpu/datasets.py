@@ -1089,10 +1089,23 @@ def _convex_polygons_multiclass(seed):
         colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
 
 
+def _convex_polygons_oriented(seed):
+    """Unconditional 32x32 {3,4,5,6}-gons with a vertical shading ramp
+    (polygons.write_oriented_npz_dataset creates the on-disk splits).
+    The SSGAN convergence-proof dataset: the ramp makes the 4-way
+    rotation self-supervision task learnable (uniformly rotated polygons
+    alone are rotation-invariant, leaving the rotation head at chance)."""
+    return ImageDatasetV2(
+        name="convex_polygons_oriented",
+        tfds_name="convex_polygons_oriented", resolution=32,
+        colors=1, num_classes=None, eval_test_samples=10000, seed=seed)
+
+
 DATASETS: Dict[str, Callable] = {
     "celeb_a": _celeba,
     "convex_polygons": _convex_polygons,
     "convex_polygons_multiclass": _convex_polygons_multiclass,
+    "convex_polygons_oriented": _convex_polygons_oriented,
     "celeb_a_hq_128": _celeba_hq_128,
     "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
     "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,

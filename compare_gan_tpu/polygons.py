@@ -127,6 +127,43 @@ def generate_multiclass_dataset(n_instances: int,
     return images[ids, :, :, None], labels[ids].astype(np.int64)
 
 
+def generate_oriented_dataset(n_instances: int,
+                              classes=(3, 4, 5, 6),
+                              min_segment_angle: float = 20.0,
+                              scale: float = 0.75, raster_dim: int = 32,
+                              subpixel_res: int = 8,
+                              gradient_floor: float = 0.55,
+                              seed: int = 0):
+    """Mixed {3,4,5,6}-gons whose background is shaded by a vertical
+    luminance ramp (1.0 at the top row down to `gradient_floor` at the
+    bottom), giving the otherwise rotation-invariant polygon distribution
+    a global orientation cue. This is the SSGAN convergence-proof
+    dataset: the reference's self-supervision predicts which of 4
+    rotations was applied to an image (ssgan.py:147-168), which is only a
+    learnable task if the data distribution is NOT rotation-invariant —
+    uniformly rotated polygons alone would leave the rotation head at
+    chance by symmetry. Returns (images [N, raster_dim, raster_dim, 1]
+    float32 in [0, 1], labels [N] = class index), shuffled; trained
+    unconditionally."""
+    classes = tuple(classes)
+    if any(c < 3 for c in classes):
+        raise ValueError("Need more than 2 vertices.")
+    if any(min_segment_angle > 360.0 / c for c in classes):
+        raise ValueError("The minimum segment angle is infeasible.")
+    if not 0.0 <= gradient_floor < 1.0:
+        raise ValueError("gradient_floor must be in [0, 1).")
+    rng = np.random.RandomState(seed)
+    ramp = np.linspace(1.0, gradient_floor, raster_dim,
+                       dtype=np.float32)[:, None]
+    labels = rng.randint(0, len(classes), size=n_instances)
+    images = np.stack([
+        generate_convex_polygon(rng, classes[y], min_segment_angle, scale,
+                                raster_dim, subpixel_res) * ramp
+        for y in labels])
+    ids = rng.permutation(n_instances)
+    return images[ids, :, :, None], labels[ids].astype(np.int64)
+
+
 def _write_splits(out: str, images, labels, n_train: int, n_test: int,
                   n_holdout: int) -> str:
     """Write {train,test,holdout}.npz (uint8 images) under `out` — the
@@ -153,6 +190,20 @@ def write_multiclass_npz_dataset(data_dir: str, n_train: int = 60000,
     images, labels = generate_multiclass_dataset(total, seed=seed, **kwargs)
     return _write_splits(
         os.path.join(data_dir, "convex_polygons_multiclass"),
+        images, labels, n_train, n_test, n_holdout)
+
+
+def write_oriented_npz_dataset(data_dir: str, n_train: int = 60000,
+                               n_test: int = 10000, n_holdout: int = 10000,
+                               seed: int = 0, **kwargs) -> str:
+    """Write 32x32 shaded {3,4,5,6}-gon splits as
+    `<data_dir>/convex_polygons_oriented/{train,test,holdout}.npz`, ready
+    for `datasets.get_dataset("convex_polygons_oriented")` — the SSGAN
+    (rotation self-supervision) convergence-proof dataset."""
+    total = n_train + n_test + n_holdout
+    images, labels = generate_oriented_dataset(total, seed=seed, **kwargs)
+    return _write_splits(
+        os.path.join(data_dir, "convex_polygons_oriented"),
         images, labels, n_train, n_test, n_holdout)
 
 

@@ -40,7 +40,8 @@ def test_expected_configs_shipped():
                      "dcgan_polygons28.gin",
                      "biggan32_polygons_multiclass.gin",
                      "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
-                     "sndcgan_celebahq128.gin"}
+                     "sndcgan_celebahq128.gin",
+                     "ssgan32_polygons_oriented.gin"}
 
 
 # Shrink bindings so the BigGAN audit's eager init trace is CPU-cheap;
@@ -49,6 +50,10 @@ def test_expected_configs_shipped():
 _AUDIT_SHRINK = {
     "biggan_imagenet128.gin": ["resnet_biggan.Generator.ch = 16",
                                "resnet_biggan.Discriminator.ch = 16"],
+    # The audit traces with batch 2; the recipe's rotated_batch_size=64
+    # implies 16 rotated images per sub-batch, which SSGAN (correctly)
+    # rejects when the batch is smaller.
+    "ssgan32_polygons_oriented.gin": ["SSGAN.rotated_batch_size = 8"],
 }
 
 

@@ -90,3 +90,36 @@ def test_multiclass_npz_roundtrip_through_registry(tmp_path, monkeypatch):
     assert batch["images"].shape == (4, 32, 32, 1)
     assert batch["labels"].shape == (4,)
     assert batch["labels"].max() < 4
+
+
+def test_oriented_dataset_rotation_is_detectable():
+    """The oriented variant exists to make SSGAN's 4-way rotation task
+    learnable: the vertical shading ramp must give every image a global
+    orientation cue (top rows brighter than bottom rows), and a rot90
+    must move that cue to the columns — the signal the rotation head
+    classifies. Plain polygons are uniformly rotated (rotation-invariant
+    distribution), which would leave the head at chance by symmetry."""
+    imgs, labels = polygons.generate_oriented_dataset(32, seed=3)
+    assert imgs.shape == (32, 32, 32, 1)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    assert labels.shape == (32,) and set(np.unique(labels)) <= {0, 1, 2, 3}
+    for im in imgs[..., 0]:
+        top, bottom = im[:8].mean(), im[-8:].mean()
+        assert top > bottom + 0.05, (top, bottom)
+        rot = np.rot90(im)
+        assert abs(rot[:8].mean() - rot[-8:].mean()) < (top - bottom) / 2
+    # Determinism: same seed, same data.
+    imgs2, labels2 = polygons.generate_oriented_dataset(32, seed=3)
+    np.testing.assert_array_equal(imgs, imgs2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_oriented_npz_roundtrip_through_registry(tmp_path, monkeypatch):
+    polygons.write_oriented_npz_dataset(str(tmp_path), n_train=32,
+                                        n_test=8, n_holdout=8)
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("convex_polygons_oriented")
+    assert ds.num_classes is None
+    batch = next(ds.train_input_fn(batch_size=4))
+    assert batch["images"].shape == (4, 32, 32, 1)
