@@ -1089,6 +1089,20 @@ def _convex_polygons_multiclass(seed):
         colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
 
 
+def _convex_polygons_partial(seed):
+    """Partially-labeled multiclass polygons (20% labeled by default;
+    polygons.write_partial_npz_dataset creates the on-disk splits).
+    The S3GAN convergence-proof dataset: unlabeled train examples carry
+    label -1, which `_get_one_hot_labels` maps to an all-zero row — the
+    reference's is_label_available contract (reference s3gan.py:118-122)
+    — so the predictor head must impute them. test/holdout are fully
+    labeled for held-out predictor accuracy."""
+    return ImageDatasetV2(
+        name="convex_polygons_partial",
+        tfds_name="convex_polygons_partial", resolution=32,
+        colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
+
+
 def _convex_polygons_oriented(seed):
     """Unconditional 32x32 {3,4,5,6}-gons with a vertical shading ramp
     (polygons.write_oriented_npz_dataset creates the on-disk splits).
@@ -1106,6 +1120,7 @@ DATASETS: Dict[str, Callable] = {
     "convex_polygons": _convex_polygons,
     "convex_polygons_multiclass": _convex_polygons_multiclass,
     "convex_polygons_oriented": _convex_polygons_oriented,
+    "convex_polygons_partial": _convex_polygons_partial,
     "celeb_a_hq_128": _celeba_hq_128,
     "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
     "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,

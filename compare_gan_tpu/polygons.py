@@ -207,6 +207,32 @@ def write_oriented_npz_dataset(data_dir: str, n_train: int = 60000,
         images, labels, n_train, n_test, n_holdout)
 
 
+def write_partial_npz_dataset(data_dir: str, labeled_frac: float = 0.2,
+                              n_train: int = 60000, n_test: int = 10000,
+                              n_holdout: int = 10000, seed: int = 0,
+                              **kwargs) -> str:
+    """Write the PARTIALLY-LABELED multiclass splits as
+    `<data_dir>/convex_polygons_partial/{train,test,holdout}.npz` — the
+    S3GAN convergence-proof dataset ("High-Fidelity Image Generation With
+    Fewer Labels" regime). Identical images to the multiclass set, but
+    only `labeled_frac` of the TRAIN labels survive; the rest become -1,
+    which one-hots to an all-zero row — the reference's "no label was
+    passed" contract the predictor head keys on (reference
+    s3gan.py:105,118-122). test/holdout keep every label so held-out
+    predictor accuracy is measurable."""
+    if not 0.0 < labeled_frac <= 1.0:
+        raise ValueError("labeled_frac must be in (0, 1].")
+    total = n_train + n_test + n_holdout
+    images, labels = generate_multiclass_dataset(total, seed=seed, **kwargs)
+    rng = np.random.RandomState(seed + 1)
+    drop = rng.uniform(size=n_train) >= labeled_frac
+    labels = labels.copy()
+    labels[:n_train][drop] = -1
+    return _write_splits(
+        os.path.join(data_dir, "convex_polygons_partial"),
+        images, labels, n_train, n_test, n_holdout)
+
+
 def write_npz_dataset(data_dir: str, n_train: int = 60000,
                       n_test: int = 10000, n_holdout: int = 10000,
                       seed: int = 0, **kwargs) -> str:

@@ -41,6 +41,7 @@ def test_expected_configs_shipped():
                      "biggan32_polygons_multiclass.gin",
                      "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
                      "sndcgan_celebahq128.gin",
+                     "s3gan32_polygons_partial.gin",
                      "ssgan32_polygons_oriented.gin"}
 
 
@@ -54,6 +55,11 @@ _AUDIT_SHRINK = {
     # implies 16 rotated images per sub-batch, which SSGAN (correctly)
     # rejects when the batch is smaller.
     "ssgan32_polygons_oriented.gin": ["SSGAN.rotated_batch_size = 8"],
+    # Batch 2 cannot host 4 rotated examples (rotated_bs = 2/frac < 4);
+    # the rotation path itself is covered by tests/test_trainer_matrix.py
+    # and the convergence run — here only binding consumption matters,
+    # and S3GAN.* constructor bindings are consumed at __init__.
+    "s3gan32_polygons_partial.gin": ['S3GAN.self_supervision = "none"'],
 }
 
 

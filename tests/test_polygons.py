@@ -114,6 +114,72 @@ def test_oriented_dataset_rotation_is_detectable():
     np.testing.assert_array_equal(labels, labels2)
 
 
+def test_partial_dataset_writer_semantics(tmp_path):
+    """write_partial_npz_dataset: only labeled_frac of TRAIN labels
+    survive (rest -1 = the reference's "no label" contract,
+    s3gan.py:105,118-122); test/holdout keep every label; images are
+    bitwise the multiclass set's (same seed) so FID anchors transfer."""
+    polygons.write_partial_npz_dataset(str(tmp_path), labeled_frac=0.25,
+                                       n_train=256, n_test=32, n_holdout=32)
+    polygons.write_multiclass_npz_dataset(str(tmp_path), n_train=256,
+                                          n_test=32, n_holdout=32)
+    for split in ("train", "test", "holdout"):
+        part = np.load(tmp_path / "convex_polygons_partial" / f"{split}.npz")
+        full = np.load(
+            tmp_path / "convex_polygons_multiclass" / f"{split}.npz")
+        np.testing.assert_array_equal(part["images"], full["images"])
+        if split == "train":
+            frac = (part["labels"] >= 0).mean()
+            assert 0.15 < frac < 0.35, frac
+            kept = part["labels"] >= 0
+            np.testing.assert_array_equal(part["labels"][kept],
+                                          full["labels"][kept])
+            assert set(part["labels"][~kept]) == {-1}
+        else:
+            np.testing.assert_array_equal(part["labels"], full["labels"])
+    with pytest.raises(ValueError):
+        polygons.write_partial_npz_dataset(str(tmp_path), labeled_frac=0.0)
+
+
+def test_partial_npz_s3gan_step(tmp_path, monkeypatch):
+    """End-to-end: -1 labels ride the real npz pipeline into an S3GAN
+    train step — one-hot(-1) rows are all-zero, is_label_available sees
+    them, and the predictor's label_frac metric reports the batch's
+    labeled fraction (not 1.0)."""
+    import jax
+    from compare_gan_tpu.gans.s3gan import S3GAN
+
+    polygons.write_partial_npz_dataset(str(tmp_path), labeled_frac=0.25,
+                                       n_train=256, n_test=32, n_holdout=32)
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("convex_polygons_partial")
+    assert ds.num_classes == 4
+    gan = S3GAN(dataset=ds, model_dir=str(tmp_path / "model"),
+                parameters={"architecture": "dummy_arch", "z_dim": 8,
+                            "lambda": 1, "disc_iters": 1},
+                conditional=True, self_supervision="none",
+                rotated_batch_fraction=2, project_y=True,
+                use_predictor=True, use_soft_pred=True)
+    bs = 16
+    batch = next(ds.train_input_fn(batch_size=bs * gan.num_sub_steps))
+    labels = np.asarray(batch["labels"])
+    assert (labels == -1).any(), "partial train split must mix in -1s"
+    onehot = np.asarray(jax.nn.one_hot(labels, 4))
+    np.testing.assert_array_equal(onehot.sum(1), (labels >= 0))
+    ts = gan.init_state(jax.random.PRNGKey(0), bs)
+    step = jax.jit(gan.make_train_step(bs))
+    _, metrics = step(ts, {k: np.asarray(v) for k, v in batch.items()})
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # The extras come from the G sub-step, which sees the LAST sub-batch
+    # (labels_s[-1]); label_frac must report ITS labeled fraction.
+    g_labels = labels[-bs:]
+    assert (labels == -1).any()
+    np.testing.assert_allclose(float(metrics["loss/label_frac"]),
+                               (g_labels >= 0).mean(), atol=1e-6)
+
+
 def test_oriented_npz_roundtrip_through_registry(tmp_path, monkeypatch):
     polygons.write_oriented_npz_dataset(str(tmp_path), n_train=32,
                                         n_test=8, n_holdout=8)
