@@ -140,6 +140,43 @@ def _make_gilbo_steps(gan, z_dim, batch_size, tx):
             consistency_batch)
 
 
+def _save_regressor_ckpt(outdir, tag, params, opt_state, meta):
+    """Atomic `gilbo_model-<tag>.p` (the reference's per-cycle Saver
+    checkpoints, gilbo.py:380+): regressor params + Adam state + the
+    cycle-protocol bookkeeping needed to continue exactly."""
+    path = os.path.join(outdir, "gilbo_model-%05d.p" % tag)
+    payload = dict(
+        params={k: np.asarray(v) for k, v in params.items()},
+        opt_state=jax.tree.map(np.asarray, opt_state),
+        meta=meta)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_latest_regressor_ckpt(outdir, template_params):
+    """Newest gilbo_model-*.p whose params match `template_params` in
+    keys and shapes; None when absent or incompatible (e.g. the outdir
+    belongs to a different z_dim/architecture)."""
+    import glob as _glob
+    paths = _glob.glob(os.path.join(outdir, "gilbo_model-*.p"))
+    if not paths:
+        return None
+    path = max(paths, key=lambda p: int(
+        os.path.basename(p).split("-")[-1].split(".")[0]))
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = payload["params"]
+    if (set(params) != set(template_params)
+            or any(np.shape(params[k]) != np.shape(template_params[k])
+                   for k in params)):
+        logging.warning("Ignoring incompatible GILBO checkpoint %s.", path)
+        return None
+    logging.info("Resuming GILBO regressor from %s.", path)
+    return payload
+
+
 def train_gilbo(gan, ts, train_images=None, eval_images=None,
                 batch_size=64, train_steps=2000, eval_batches=64,
                 learning_rate=4e-4, seed=0, options=None, outdir=None):
@@ -162,7 +199,14 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     `gilbo_train_steps_per_cycle` steps; after any cycle whose average
     GILBO fails the required improvement margin the lr is scaled by
     `gilbo_lr_scale`, and training stops when lr < `gilbo_min_lr` (or on
-    NaN). Same option names and defaults as the reference."""
+    NaN). Same option names and defaults as the reference.
+
+    With `outdir` set, the regressor is checkpointed there after every
+    cycle (`gilbo_model-<cycle>.p`, the reference's Saver checkpoints at
+    gilbo.py:380+; the fixed-steps path saves once after training), and
+    a rerun resumes from the newest one — key streams and the cycle
+    bookkeeping (lr, improvement floor) are persisted, so an interrupted
+    computation continues exactly where an unbroken run would be."""
     z_dim = gan.z_dim
     key = jax.random.PRNGKey(seed)
     # Disjoint key domains: a single flat fold_in space collided (train
@@ -184,10 +228,33 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     opt_state = tx.init(params)
     log_pz = -z_dim * np.log(2.0)
 
+    resume = (_load_latest_regressor_ckpt(outdir, params)
+              if outdir is not None else None)
+    # Only adopt a checkpoint written by the SAME training protocol; a
+    # mode mismatch (fixed-steps outdir reused for the cycle protocol or
+    # vice versa) silently continuing would neither match an unbroken run
+    # nor retrain cleanly.
+    if resume is not None and (
+            ("steps" in resume["meta"]) != (options is None)):
+        logging.warning("Ignoring GILBO checkpoint from a different "
+                        "training protocol.")
+        resume = None
+    if resume is not None:
+        params, opt_state = resume["params"], resume["opt_state"]
+
     if options is None:
-        for i in range(train_steps):
+        # Resuming from step `meta['steps']` continues the fold_in key
+        # stream exactly where an unbroken run would be; a checkpoint
+        # from a >= budget means only the eval phase was cut short.
+        start_step = (resume["meta"].get("steps", 0)
+                      if resume is not None and "steps" in resume["meta"]
+                      else 0)
+        for i in range(start_step, train_steps):
             params, opt_state, _ = train_step(
                 ts, params, opt_state, jax.random.fold_in(train_key, i))
+        if outdir is not None and start_step < train_steps:
+            _save_regressor_ckpt(outdir, 0, params, opt_state,
+                                 dict(steps=train_steps))
     else:
         # Reference protocol (gilbo.py:216-266), same knobs and defaults.
         lr_scale = options.get("gilbo_lr_scale", 0.5)
@@ -200,7 +267,15 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
         ais = [0.0]  # Average GILBO per cycle.
         min_ai = -2.0
         step_index = 0
-        for cycle in range(max_train_cycles):
+        start_cycle = 0
+        if resume is not None and "cycle" in resume["meta"]:
+            # start_cycle >= max_train_cycles (a completed or larger-
+            # budget run) skips straight to eval; a smaller budget's
+            # checkpoint continues into the remaining cycles.
+            meta = resume["meta"]
+            lr, ais, min_ai = meta["lr"], meta["ais"], meta["min_ai"]
+            step_index, start_cycle = meta["step_index"], meta["cycle"]
+        for cycle in range(start_cycle, max_train_cycles):
             if lr < min_lr:
                 break
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
@@ -226,6 +301,11 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
                          ai + max(0.0, min(min_ai_step_value,
                                            (ai - ais[-2])
                                            * min_ai_step_scale)))
+            if outdir is not None:
+                _save_regressor_ckpt(
+                    outdir, cycle + 1, params, opt_state,
+                    dict(cycle=cycle + 1, lr=lr, ais=ais, min_ai=min_ai,
+                         step_index=step_index))
 
     # Evaluation pass; the first ≤1000 samples' posteriors and images go
     # into eval_dists.p for separate analysis (reference gilbo.py:295-320).

@@ -295,3 +295,62 @@ def test_gilbo_misconfig_fails_before_eval_cost(tmp_path, monkeypatch):
                 export_accu_checkpoint=False)
     finally:
         gin.clear_config()
+
+
+def test_gilbo_regressor_checkpoint_resume(tmp_path):
+    """The per-cycle regressor checkpoints (`gilbo_model-*.p`, reference
+    gilbo.py:380+) make the metric computation resumable: a run
+    interrupted after cycle 1 and rerun with the full budget produces
+    the EXACT result of an unbroken run — params, Adam state, key
+    streams and the cycle bookkeeping (lr, improvement floor) all
+    continue where the unbroken run would be."""
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    opts = {"gilbo_max_train_cycles": 2,
+            "gilbo_train_steps_per_cycle": 4}
+
+    full_dir, resume_dir = tmp_path / "full", tmp_path / "resume"
+    full = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, eval_batches=2, options=opts,
+        outdir=str(full_dir))
+
+    # "Interrupted" run: only 1 of the 2 cycles, then resume with the
+    # full budget in the same outdir.
+    gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, eval_batches=2,
+        options={**opts, "gilbo_max_train_cycles": 1},
+        outdir=str(resume_dir))
+    assert (resume_dir / "gilbo_model-00001.p").exists()
+    resumed = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, eval_batches=2, options=opts,
+        outdir=str(resume_dir))
+    np.testing.assert_array_equal(np.asarray(resumed),
+                                  np.asarray(full))
+    assert (resume_dir / "gilbo_model-00002.p").exists()
+
+    # A completed run resumes straight past training (eval-phase
+    # interruption): rerunning with the same budget reproduces the
+    # result without writing new cycles.
+    again = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, eval_batches=2, options=opts,
+        outdir=str(resume_dir))
+    np.testing.assert_array_equal(np.asarray(again),
+                                  np.asarray(full))
+
+
+def test_gilbo_fixed_steps_checkpoint_resume(tmp_path):
+    """The fixed-steps path saves once after training (done=True): a
+    rerun skips retraining and reproduces the metric exactly."""
+    gan = _gan()
+    ts = gan.init_state(jax.random.PRNGKey(0), 8)
+    first = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, train_steps=6, eval_batches=2,
+        outdir=str(tmp_path))
+    assert (tmp_path / "gilbo_model-00000.p").exists()
+    mtime = (tmp_path / "gilbo_model-00000.p").stat().st_mtime_ns
+    second = gilbo_lib.train_gilbo(
+        gan, ts, batch_size=8, train_steps=6, eval_batches=2,
+        outdir=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(second),
+                                  np.asarray(first))
+    assert (tmp_path / "gilbo_model-00000.p").stat().st_mtime_ns == mtime
