@@ -258,3 +258,140 @@ def test_resnet_cifar_generator_oracle_unfused_path(monkeypatch):
     got, _ = core.apply(g_fn, params, state, z)
     want = tf_resnet_cifar_g(vars_, tf.constant(z), True).numpy()
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# BigGAN generator oracle: the flagship family's G semantics — SN via
+# persisted power iteration on every layer, accumulator conditional BN,
+# hierarchical z + embedded y, the SAGAN non-local block, fused up-convs
+# — re-derived in TF2 from the reference (resnet_biggan.py:154-302,
+# arch_ops.py:122-191,423-445,709-758).
+# ---------------------------------------------------------------------------
+
+_BIGGAN_EPS = 1e-5  # The recipe's standardize_batch.epsilon.
+
+
+def _sn_auto(v, scope):
+    """singular_value='left' (u persisted along rows); mirrors
+    spectral_norm_sigma's 2-read rewrite: sigma = u'^T (W v)."""
+    return _sn(v, scope)
+
+
+def _std_accu(v, scope, x, training):
+    """standardize_batch, accumulator mode (use_moving_averages=False):
+    train normalizes by batch moments; eval by accu/counter (with
+    update_accus=0 the accumulators are read-only)."""
+    if training:
+        mean = tf.reduce_mean(x, axis=[0, 1, 2])
+        var = tf.reduce_mean(tf.square(x), axis=[0, 1, 2]) - tf.square(mean)
+    else:
+        counter = v[f"{scope}/accu/accu_counter"]
+        mean = tf.constant(v[f"{scope}/accu/accu_mean"]) / counter
+        var = tf.constant(v[f"{scope}/accu/accu_variance"]) / counter
+    return (x - mean) * tf.math.rsqrt(var + _BIGGAN_EPS)
+
+
+def _cbn(v, scope, x, zy, training):
+    """Conditional BN: gamma/beta = SN-linear(zy), no bias
+    (arch_ops.py:423-445)."""
+    out = _std_accu(v, scope, x, training)
+    gamma = _linear(v, f"{scope}/condition/gamma", zy, use_sn=True,
+                    use_bias=False)
+    beta = _linear(v, f"{scope}/condition/beta", zy, use_sn=True,
+                   use_bias=False)
+    return out * gamma[:, None, None, :] + beta[:, None, None, :]
+
+
+def _plain_bn_accu(v, scope, x, training):
+    out = _std_accu(v, scope, x, training)
+    return out * v[f"{scope}/gamma"] + v[f"{scope}/beta"]
+
+
+def _conv_nobias_sn(v, scope, x):
+    out = tf.nn.conv2d(x, v[scope + "/kernel"], strides=[1, 1, 1, 1],
+                       padding="SAME")
+    return out / _sn_auto(v, scope)
+
+
+def _non_local(v, scope, x):
+    """SAGAN self-attention: theta/phi/g 1x1 SN convs (no bias), 2x2
+    max-pool on phi/g, plain softmax attention, sigma-gated residual."""
+    b, h, w, c = x.shape
+    theta = tf.reshape(_conv_nobias_sn(v, f"{scope}/conv2d_theta", x),
+                       (b, h * w, c // 8))
+    phi = _conv_nobias_sn(v, f"{scope}/conv2d_phi", x)
+    phi = tf.nn.max_pool2d(phi, 2, 2, "VALID")
+    phi = tf.reshape(phi, (b, (h // 2) * (w // 2), c // 8))
+    g = _conv_nobias_sn(v, f"{scope}/conv2d_g", x)
+    g = tf.nn.max_pool2d(g, 2, 2, "VALID")
+    g = tf.reshape(g, (b, (h // 2) * (w // 2), c // 2))
+    attn = tf.nn.softmax(tf.einsum("bnc,bmc->bnm", theta, phi), axis=-1)
+    attn_g = tf.reshape(tf.einsum("bnm,bmc->bnc", attn, g),
+                        (b, h, w, c // 2))
+    attn_g = _conv_nobias_sn(v, f"{scope}/conv2d_attn_g", attn_g)
+    return x + v[f"{scope}/sigma"] * attn_g
+
+
+def _biggan_g_block(v, name, x, zy, training):
+    """BigGAN up-block: cBN -> relu -> unpool+conv1 -> cBN -> relu ->
+    conv2, 1x1 shortcut conv on the unpooled input
+    (resnet_biggan.py:81-151)."""
+    out = _cbn(v, f"{name}/bn1", x, zy, training)
+    out = _conv(v, f"{name}/up_conv1", _unpool(tf.nn.relu(out)), 1,
+                use_sn=True)
+    out = _cbn(v, f"{name}/bn2", out, zy, training)
+    out = _conv(v, f"{name}/same_conv2", tf.nn.relu(out), 1, use_sn=True)
+    shortcut = _conv(v, f"{name}/up_conv_shortcut", _unpool(x), 1,
+                     use_sn=True)
+    return out + shortcut
+
+
+def tf_biggan32_g(v, z, y, training):
+    """resnet_biggan G at 32px (ch table [4,4,4,4], 3 blocks), attention
+    after B2, hierarchical z (4 chunks) + embed_y concat conditioning."""
+    y_emb = _linear(v, "generator/embed_y", y, use_bias=False)
+    z_chunks = tf.split(z, 4, axis=1)
+    z0, z_per_block = z_chunks[0], z_chunks[1:]
+    net = _linear(v, "generator/fc_noise", z0, use_sn=True)
+    net = tf.reshape(net, (-1, 4, 4, 384))
+    for i in (1, 2, 3):
+        zy = tf.concat([z_per_block[i - 1], y_emb], axis=1)
+        net = _biggan_g_block(v, f"generator/B{i}", net, zy, training)
+        if i == 2:
+            net = _non_local(v, "generator/non_local_block", net)
+    net = _plain_bn_accu(v, "generator/final_norm", net, training)
+    net = tf.nn.relu(net)
+    net = _conv(v, "generator/final_conv", net, 1, use_sn=True)
+    return (tf.tanh(net) + 1.0) / 2.0
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_biggan32_generator_forward_oracle(training):
+    gin.parse_config(
+        "G.batch_norm_fn = @conditional_batch_norm\n"
+        "G.spectral_norm = True\n"
+        "resnet_biggan.Generator.blocks_with_attention = 'B2'\n"
+        "standardize_batch.decay = 0.9\n"
+        "standardize_batch.epsilon = 1e-5\n"
+        "standardize_batch.use_moving_averages = False\n")
+    gen = GENERATORS["resnet_biggan_arch"](image_shape=(32, 32, 3))
+
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((4, 120)).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[[0, 1, 2, 3]]
+
+    def g_fn(z_, y_):
+        return gen(z_, y_, is_training=training)
+
+    vars_, params, state = _init_and_randomize(g_fn, z, y, seed=5)
+    # Integer accumulator switch must stay an int (eval: no updates).
+    for k in state:
+        if k.endswith("update_accus"):
+            vars_[k] = state[k] = np.zeros((), np.int32)
+        elif k.endswith("accu_counter"):
+            vars_[k] = state[k] = np.float32(np.abs(vars_[k]) + 1.0)
+    got, _ = core.apply(g_fn, params, state, z, y)
+    want = tf_biggan32_g(vars_, tf.constant(z), tf.constant(y),
+                         training).numpy()
+    assert want.shape == (4, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
