@@ -481,6 +481,7 @@ class TestEvoNormS0:
         np.testing.assert_allclose(np.asarray(out2)[:1], np.asarray(out1),
                                    rtol=1e-6)
 
+    @pytest.mark.slow
     def test_gin_hook_trains_modular_gan(self):
         """`G.batch_norm_fn = @evonorm_s0` wires through the architecture
         batch_norm dispatch; one ModularGAN step stays finite."""

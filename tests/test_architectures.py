@@ -42,7 +42,8 @@ def _build_and_check(arch, image_shape, z_dim=120, batch_size=2):
     (c.DUMMY_ARCH, (32, 32, 3)),
     (c.INFOGAN_ARCH, (32, 32, 3)),
     (c.RESNET_CIFAR_ARCH, (32, 32, 3)),
-    (c.RESNET_STL_ARCH, (48, 48, 3)),
+    pytest.param(c.RESNET_STL_ARCH, (48, 48, 3),
+                 marks=pytest.mark.slow),
     (c.RESNET5_ARCH, (128, 128, 3)),
     (c.SNDCGAN_ARCH, (32, 32, 3)),
 ])
@@ -93,6 +94,7 @@ class TestBigGan:
             if layer == "up_conv_shortcut" and var_name == "kernel":
                 assert tuple(g_params[name].shape[:2]) == (1, 1)
 
+    @pytest.mark.slow
     def test_conditional_output_shapes_64(self):
         gen = resnet_biggan.Generator(
             image_shape=(64, 64, 3),

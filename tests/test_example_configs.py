@@ -63,7 +63,12 @@ _AUDIT_SHRINK = {
 }
 
 
-@pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
+@pytest.mark.parametrize(
+    "path",
+    [pytest.param(p, marks=pytest.mark.slow)
+     if os.path.basename(p) == "biggan_imagenet128.gin" else p
+     for p in CONFIGS],
+    ids=os.path.basename)
 def test_every_binding_is_consumed(path):
     """Parity audit (r2 VERDICT #10): every binding in a shipped config
     must be CONSUMED (appear in the operative config) after the surfaces
