@@ -42,6 +42,13 @@ flags.DEFINE_integer(
 flags.DEFINE_bool(
     "data_fake_dataset", False,
     "If True, the real data is replaced by a fake dataset.")
+flags.DEFINE_bool(
+    "eval_subprocess_per_checkpoint", False,
+    "Evaluate each checkpoint in a fresh subprocess. Mitigates the "
+    "tunneled-TPU client's per-eval host-memory retention (~6 GB per "
+    "BigGAN-32 checkpoint, below JAX and unreachable from this repo) so "
+    "long continuous_eval loops run at flat RSS; costs process startup "
+    "plus a compile-cache-warm recompile per checkpoint.")
 flags.DEFINE_integer("num_devices", None,
                      "Devices in the mesh (default: all local).")
 flags.DEFINE_bool(
@@ -120,7 +127,8 @@ def main(unused_argv):
         task_manager=task_manager,
         options=options,
         num_eval_averaging_runs=FLAGS.num_eval_averaging_runs,
-        eval_every_steps=(FLAGS.eval_every_steps or None))
+        eval_every_steps=(FLAGS.eval_every_steps or None),
+        eval_subprocess_per_checkpoint=FLAGS.eval_subprocess_per_checkpoint)
     logging.info("Finished schedule %s.", FLAGS.schedule)
 
 

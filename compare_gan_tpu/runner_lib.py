@@ -369,52 +369,106 @@ def _default_eval_tasks():
             fid_score.FIDScoreTask()]
 
 
-def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
-              num_averaging_runs, eval_tasks=None):
-    """Evaluate checkpoints → scores.csv (runner_lib.py:235-277).
+def evaluate_and_record_checkpoint(gan, checkpoint_path, task_manager,
+                                   model_dir, batch_size,
+                                   num_averaging_runs, eval_tasks=None):
+    """One checkpoint: module export + metric eval + scores.csv row.
     NaN ⇒ sentinel 31337.0 (eval_gan_lib.NAN_DETECTED)."""
     from compare_gan_tpu import eval_gan_lib, export
     eval_tasks = eval_tasks or _default_eval_tasks()
+    step = ckpt_lib.step_of(checkpoint_path)
+    # Export the module snapshot per checkpoint (reference exports
+    # TF-Hub modules to model_dir/tfhub/<step>, runner_lib.py:258-264).
+    export_path = os.path.join(model_dir, "tfhub", str(step))
+    if not os.path.exists(os.path.join(export_path, "module_spec.json")):
+        # Shares evaluate_checkpoint's cached template: one
+        # init_state per gan, not two per checkpoint.
+        cache = eval_gan_lib._jit_cache(gan)
+        if ("template", batch_size) not in cache:
+            cache[("template", batch_size)] = gan.init_state(
+                jax.random.PRNGKey(0), batch_size)
+        ts = ckpt_lib.restore_checkpoint(
+            checkpoint_path, cache[("template", batch_size)])
+        export.export_module(gan, ts, export_path)
+    default_value = -1.0
+    try:
+        result_dict = eval_gan_lib.evaluate_checkpoint(
+            gan, checkpoint_path, eval_tasks, batch_size=batch_size,
+            num_averaging_runs=num_averaging_runs)
+    except eval_gan_lib.NanFoundError:
+        # Fill every metric column with the sentinel so the CSV row
+        # records the failure (improves on the reference, whose
+        # add_eval_result drops default_value — runner_lib.py:207-224).
+        result_dict = {
+            f"{metric}_{suffix}": eval_gan_lib.NAN_DETECTED
+            for task in eval_tasks for metric in task.metric_list()
+            for suffix in ("mean", "std", "list")}
+        default_value = eval_gan_lib.NAN_DETECTED
+    task_manager.add_eval_result(checkpoint_path, result_dict,
+                                 default_value)
+
+
+def _eval_checkpoint_in_subprocess(checkpoint_path, run_config, batch_size,
+                                   num_averaging_runs):
+    """Evaluate one checkpoint in a FRESH process (compare_gan_tpu
+    .eval_single) and wait. Why: on the tunneled TPU backend the native
+    client retains ~6 GB of host memory per evaluated BigGAN-32
+    checkpoint — python heap and jax.live_arrays() stay flat while RSS
+    grows, i.e. the retention is below JAX, unreachable from the repo —
+    so a 24 h continuous_eval OOMs after tens of checkpoints unless each
+    eval's client dies with its process. Opt in with
+    --eval_subprocess_per_checkpoint."""
+    import subprocess
+    import sys
+
+    cfg_dir = os.path.join(run_config.model_dir, "result")
+    os.makedirs(cfg_dir, exist_ok=True)
+    cfg_path = os.path.join(cfg_dir, "eval_child_config.gin")
+    with open(cfg_path, "w") as f:
+        f.write(gin.config_str())
+    env = dict(os.environ)
+    # The child must land on the parent's backend even where the env
+    # pins another (the axon sitecustomize pins JAX_PLATFORMS; tests run
+    # forced-CPU): eval_single applies this before backend init.
+    env["COMPARE_GAN_EVAL_CHILD_PLATFORM"] = jax.default_backend()
+    argv = [sys.executable, "-m", "compare_gan_tpu.eval_single",
+            f"--model_dir={run_config.model_dir}",
+            f"--checkpoint={checkpoint_path}",
+            f"--gin_config={cfg_path}",
+            f"--batch_size={batch_size}",
+            f"--num_eval_averaging_runs={num_averaging_runs}"]
+    if datasets.FAKE_DATASET:
+        argv.append("--data_fake_dataset")
+    proc = subprocess.run(argv, env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"Per-checkpoint eval subprocess failed for {checkpoint_path} "
+            f"(rc {proc.returncode}):\n{proc.stdout[-2000:]}"
+            f"\n{proc.stderr[-2000:]}")
+
+
+def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
+              num_averaging_runs, eval_tasks=None,
+              subprocess_per_checkpoint=False):
+    """Evaluate checkpoints → scores.csv (runner_lib.py:235-277)."""
     for checkpoint_path in checkpoints:
-        step = ckpt_lib.step_of(checkpoint_path)
-        if step == 0:
+        if ckpt_lib.step_of(checkpoint_path) == 0:
             continue
-        # Export the module snapshot per checkpoint (reference exports
-        # TF-Hub modules to model_dir/tfhub/<step>, runner_lib.py:258-264).
-        export_path = os.path.join(run_config.model_dir, "tfhub", str(step))
-        if not os.path.exists(os.path.join(export_path,
-                                           "module_spec.json")):
-            # Shares evaluate_checkpoint's cached template: one
-            # init_state per gan, not two per checkpoint.
-            cache = eval_gan_lib._jit_cache(gan)
-            if ("template", batch_size) not in cache:
-                cache[("template", batch_size)] = gan.init_state(
-                    jax.random.PRNGKey(0), batch_size)
-            ts = ckpt_lib.restore_checkpoint(
-                checkpoint_path, cache[("template", batch_size)])
-            export.export_module(gan, ts, export_path)
-        default_value = -1.0
-        try:
-            result_dict = eval_gan_lib.evaluate_checkpoint(
-                gan, checkpoint_path, eval_tasks, batch_size=batch_size,
-                num_averaging_runs=num_averaging_runs)
-        except eval_gan_lib.NanFoundError:
-            # Fill every metric column with the sentinel so the CSV row
-            # records the failure (improves on the reference, whose
-            # add_eval_result drops default_value — runner_lib.py:207-224).
-            result_dict = {
-                f"{metric}_{suffix}": eval_gan_lib.NAN_DETECTED
-                for task in eval_tasks for metric in task.metric_list()
-                for suffix in ("mean", "std", "list")}
-            default_value = eval_gan_lib.NAN_DETECTED
-        task_manager.add_eval_result(checkpoint_path, result_dict,
-                                     default_value)
+        if subprocess_per_checkpoint:
+            _eval_checkpoint_in_subprocess(
+                checkpoint_path, run_config, batch_size,
+                num_averaging_runs)
+        else:
+            evaluate_and_record_checkpoint(
+                gan, checkpoint_path, task_manager, run_config.model_dir,
+                batch_size, num_averaging_runs, eval_tasks)
 
 
 def run_with_schedule(schedule, run_config: RunConfig,
                       task_manager: TaskManager, options: Dict,
                       num_eval_averaging_runs=1, eval_every_steps=None,
-                      eval_batch_size=64):
+                      eval_batch_size=64,
+                      eval_subprocess_per_checkpoint=False):
     """Train / eval_after_train / continuous_eval (runner_lib.py:280-354)."""
     if schedule not in {"train", "eval_after_train", "continuous_eval"}:
         raise ValueError(f"Schedule {schedule} not supported.")
@@ -446,5 +500,6 @@ def run_with_schedule(schedule, run_config: RunConfig,
         # reference's separate single-job eval worker.
         _run_eval(gan, checkpoints=checkpoints, task_manager=task_manager,
                   run_config=run_config, batch_size=eval_batch_size,
-                  num_averaging_runs=num_eval_averaging_runs)
+                  num_averaging_runs=num_eval_averaging_runs,
+                  subprocess_per_checkpoint=eval_subprocess_per_checkpoint)
     return gan

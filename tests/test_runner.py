@@ -219,3 +219,55 @@ def test_training_steps_not_multiple_of_loop(tmp_path):
                      if k.endswith("step") and "disc" not in k]
         assert step_keys, arrays.files[:20]
         assert int(arrays[step_keys[0]]) == 5
+
+
+@pytest.mark.slow
+def test_eval_subprocess_per_checkpoint(tmp_path):
+    """--eval_subprocess_per_checkpoint: each checkpoint is evaluated by
+    a FRESH compare_gan_tpu.eval_single process (the tunneled-TPU-client
+    RSS-retention mitigation) and the parent's scores.csv and tfhub
+    exports come out exactly as the in-process path writes them."""
+    import subprocess
+    import sys
+
+    import jax
+
+    # The child can't use the in-process set_inception_fn hook: give it
+    # the fixed random-init Inception npz through the environment.
+    npz = tmp_path / "inception_random_init.npz"
+    from compare_gan_tpu.metrics import inception_net
+    np.savez(npz, **{k: np.asarray(v) for k, v in
+                     inception_net.init_random(jax.random.PRNGKey(42))
+                     .items()})
+    old_env = os.environ.get(eval_utils.INCEPTION_NPZ_ENV)
+    os.environ[eval_utils.INCEPTION_NPZ_ENV] = str(npz)
+    try:
+        rc = _run_config(tmp_path)
+        tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+        runner_lib.run_with_schedule(
+            "eval_after_train", rc, tm, _options(2),
+            num_eval_averaging_runs=1, eval_every_steps=None,
+            eval_batch_size=16, eval_subprocess_per_checkpoint=True)
+    finally:
+        if old_env is None:
+            os.environ.pop(eval_utils.INCEPTION_NPZ_ENV, None)
+        else:
+            os.environ[eval_utils.INCEPTION_NPZ_ENV] = old_env
+
+    import csv
+    with open(tmp_path / "scores.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert rows[0]["step"] == "2"
+    fid = float(rows[0]["fid_score_mean"])
+    assert np.isfinite(fid) and fid != 31337.0
+    # The child produced the per-checkpoint module export too.
+    assert (tmp_path / "tfhub" / "2" / "module_spec.json").exists()
+    # The config snapshot handed to children is persisted for reruns.
+    assert (tmp_path / "result" / "eval_child_config.gin").exists()
+
+    # A failing child surfaces as a raised error, not a silent skip.
+    bad = runner_lib.RunConfig(model_dir=str(tmp_path / "missing_dir"))
+    with pytest.raises(RuntimeError, match="subprocess failed"):
+        runner_lib._eval_checkpoint_in_subprocess(
+            str(tmp_path / "model.ckpt-999.npz"), bad, 16, 1)
