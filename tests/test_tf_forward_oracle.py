@@ -395,3 +395,72 @@ def test_biggan32_generator_forward_oracle(training):
                          training).numpy()
     assert want.shape == (4, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
+
+
+def _avgpool2(x):
+    return tf.nn.avg_pool2d(x, 2, 2, "VALID")
+
+
+def _biggan_d_block(v, name, x, down, shortcut):
+    """BigGAN D block: no BN (batch_norm_fn=None passes through), relu
+    on the input, conv1 same, conv2 downsampled (conv then 2x2 avg-pool
+    — the fused path is bit-exact to this), 1x1 down shortcut only when
+    channels change (resnet_biggan.py:81-151,305-425)."""
+    out = _conv(v, f"{name}/same_conv1", tf.nn.relu(x), 1, use_sn=True)
+    out = tf.nn.relu(out)
+    if down:
+        out = _avgpool2(_conv(v, f"{name}/down_conv2", out, 1, use_sn=True))
+    else:
+        out = _conv(v, f"{name}/same_conv2", out, 1, use_sn=True)
+    if shortcut:
+        # add_shortcut=False means NO skip connection at all (the
+        # reference's BigGanResNetBlock only adds the 1x1-conv shortcut,
+        # resnet_biggan.py:141-147; D blocks with equal in/out channels
+        # are purely feed-forward).
+        sc = _avgpool2(_conv(v, f"{name}/down_conv_shortcut", x, 1,
+                             use_sn=True))
+        out = out + sc
+    return out
+
+
+def tf_biggan32_d(v, x, y):
+    """resnet_biggan D at 32px: B1-B3 downsample, B4 same; attention
+    after B1; relu -> SUM pool -> SN final_fc + projection
+    <SN(embed) y, h> (resnet_biggan.py:305-425)."""
+    net = _biggan_d_block(v, "discriminator/B1", x, down=True,
+                          shortcut=True)
+    net = _non_local(v, "discriminator/non_local_block", net)
+    net = _biggan_d_block(v, "discriminator/B2", net, down=True,
+                          shortcut=False)
+    net = _biggan_d_block(v, "discriminator/B3", net, down=True,
+                          shortcut=False)
+    net = _biggan_d_block(v, "discriminator/B4", net, down=False,
+                          shortcut=False)
+    h = tf.reduce_sum(tf.nn.relu(net), axis=[1, 2])
+    logit = _linear(v, "discriminator/final_fc", h, use_sn=True)
+    k = tf.constant(v["discriminator/embedding_fc/kernel"])
+    k = k / _sn_sigma(k, tf.constant(
+        v["discriminator/embedding_fc/kernel/u_var"]))
+    logit += tf.reduce_sum(tf.matmul(y, k) * h, axis=1, keepdims=True)
+    return logit
+
+
+def test_biggan32_discriminator_forward_oracle():
+    gin.parse_config("D.spectral_norm = True")
+    disc = DISCRIMINATORS["resnet_biggan_arch"](project_y=True)
+
+    rng = np.random.default_rng(6)
+    x = rng.random((4, 32, 32, 3)).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[[3, 0, 2, 1]]
+
+    def d_fn(x_, y_):
+        return disc(x_, y_, is_training=False)
+
+    vars_, params, state = _init_and_randomize(d_fn, x, y, seed=6)
+    (pred, logit, h), _ = core.apply(d_fn, params, state, x, y)
+    want = tf_biggan32_d(vars_, tf.constant(x), tf.constant(y)).numpy()
+    np.testing.assert_allclose(np.asarray(logit), want, rtol=1e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pred),
+                               1.0 / (1.0 + np.exp(-want)),
+                               rtol=1e-4, atol=1e-5)
