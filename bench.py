@@ -12,6 +12,13 @@ pod: global batch 2048 / 128 cores = 16 per sub-step.
 vs_baseline: the reference publishes no TF-TPU steps/sec (BASELINE.md §top);
 R is computed against REFERENCE_STEPS_PER_SEC below, an estimate of the TF1
 compare_gan per-core throughput for the same recipe (TPUEstimator, v3).
+
+Statistics (r3 VERDICT Weak #1): the tunnel TPU is time-shared, with
+±25% wall-clock noise across occasions, so `value` is the MEDIAN of
+per-chunk steps/s over TIMED_CHUNKS chunks and the line also carries
+`p25`/`p75` plus `device_ms_per_step` — the xprof-derived sum of device
+op self-times per step, which is immune to host/tunnel scheduling and is
+the number perf claims should cite. BENCH_XPROF=0 skips the capture.
 """
 
 from __future__ import annotations
@@ -45,7 +52,65 @@ BATCH_PER_CHIP = 16
 # the measurement. BENCH_CHUNK=1 falls back to per-step dispatch timing.
 CHUNK_STEPS = int(os.environ.get("BENCH_CHUNK", "10"))
 WARMUP_CHUNKS = 1
-TIMED_CHUNKS = 2
+TIMED_CHUNKS = int(os.environ.get("BENCH_TIMED_CHUNKS", "6"))
+
+
+def _device_ms_per_step(loop, ts, chunk):
+    """Sum of device op self-times per step from one traced chunk.
+    Scheduler-noise-immune: the op self-time total counts TPU busy time
+    only, so it is stable across occasions where wall-clock steps/s
+    swings with tunnel time-sharing (capture/parse recipe: CLAUDE.md
+    profile notes; returns None if xprof tooling is unavailable)."""
+    import csv
+    import glob
+    import io
+    import shutil
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_xprof_")
+    try:
+        from xprof.convert import raw_to_tool_data
+
+        with jax.profiler.trace(trace_dir):
+            ts, metrics = loop(ts, chunk)
+            float(metrics["loss/g"])
+        paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                         recursive=True)
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            paths, "framework_op_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
+        # xprof emits either a gviz-JSON DataTable or (older versions)
+        # CSV; normalize both to a row-dict list.
+        rows = []
+        stripped = data.lstrip()
+        if stripped.startswith(("[", "{")):
+            import json as _json
+
+            obj = _json.loads(stripped)
+            table = obj[0] if isinstance(obj, list) else obj
+            ids = [c["id"] for c in table["cols"]]
+            for r in table.get("rows", []):
+                rows.append({k: (c or {}).get("v")
+                             for k, c in zip(ids, r["c"])})
+        else:
+            rows = list(csv.DictReader(io.StringIO(data)))
+        # Busy time only: the Device rows include an explicit IDLE row
+        # covering the gaps; excluding it leaves per-op self time.
+        total_us = sum(
+            float(r.get("total_self_time")
+                  or r.get("total_self_time_us")
+                  or r.get("self_time_us") or 0)
+            for r in rows
+            if r.get("host_or_device") == "Device"
+            and r.get("type") != "IDLE" and r.get("operation") != "IDLE")
+        if not total_us:
+            return None
+        return total_us / 1e3 / CHUNK_STEPS
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
 
 
 def main():
@@ -111,18 +176,30 @@ def main():
     float(metrics["loss/g"])  # Materialize: block_until_ready alone can
     # return early on tunneled backends.
 
-    t0 = time.perf_counter()
+    # Per-chunk samples: each chunk's timing is closed by its own D2H
+    # round trip (~8 ms against ~600 ms of device loop), so the samples
+    # are independent and a robust median/IQR can be reported.
+    samples = []
     for _ in range(TIMED_CHUNKS):
+        t0 = time.perf_counter()
         ts, metrics = loop(ts, chunk)
-    float(metrics["loss/g"])  # One round trip closes the timed chain.
-    dt = time.perf_counter() - t0
+        float(metrics["loss/g"])
+        samples.append(CHUNK_STEPS / (time.perf_counter() - t0))
+    p25, median, p75 = np.percentile(samples, [25, 50, 75])
 
-    steps_per_sec = TIMED_CHUNKS * CHUNK_STEPS / dt
+    device_ms = (None if os.environ.get("BENCH_XPROF", "1") != "1"
+                 else _device_ms_per_step(loop, ts, chunk))
     print(json.dumps({
         "metric": "biggan128_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 4),
+        "value": round(float(median), 4),
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 4),
+        "vs_baseline": round(float(median) / REFERENCE_STEPS_PER_SEC, 4),
+        "p25": round(float(p25), 4),
+        "p75": round(float(p75), 4),
+        "chunks": TIMED_CHUNKS,
+        "chunk_steps": CHUNK_STEPS,
+        "device_ms_per_step": (None if device_ms is None
+                               else round(device_ms, 2)),
     }))
 
 

@@ -54,17 +54,29 @@ def main():
     import io
     if isinstance(data, bytes):
         data = data.decode()
-    rows = list(csv.DictReader(io.StringIO(data)))
+    # gviz-JSON DataTable (current xprof) or CSV (older versions).
+    stripped = data.lstrip()
+    if stripped.startswith(("[", "{")):
+        obj = json.loads(stripped)
+        table = obj[0] if isinstance(obj, list) else obj
+        ids = [c["id"] for c in table["cols"]]
+        rows = [{k: (c or {}).get("v") for k, c in zip(ids, r["c"])}
+                for r in table.get("rows", [])]
+    else:
+        rows = list(csv.DictReader(io.StringIO(data)))
     rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    rows.sort(key=lambda r: -float(r.get("total_self_time_us") or
+    rows.sort(key=lambda r: -float(r.get("total_self_time") or
+                                   r.get("total_self_time_us") or
                                    r.get("self_time_us") or 0))
     keys = None
     for r in rows[:40]:
         if keys is None:
-            keys = [k for k in ("op_type", "op_name", "occurrences",
+            keys = [k for k in ("op_type", "type", "op_name", "operation",
+                                "occurrences", "total_self_time",
                                 "total_self_time_us", "self_time_us",
-                                "avg_self_time_us", "flop_rate",
-                                "measured_flop_rate")
+                                "avg_self_time", "avg_self_time_us",
+                                "flop_rate", "measured_flop_rate",
+                                "bound_by")
                     if k in r]
             print(json.dumps({"columns": list(r.keys())}), flush=True)
         print(json.dumps({k: r[k] for k in keys}), flush=True)
