@@ -464,3 +464,144 @@ def test_biggan32_discriminator_forward_oracle():
     np.testing.assert_allclose(np.asarray(pred),
                                1.0 / (1.0 + np.exp(-want)),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# BigGAN-DEEP oracles: the deep family's distinctive semantics — 1x1->
+# 3x3->3x3->1x1 bottleneck blocks, identity-PRESERVING skips (channel
+# slice in G's up blocks, conv-concat channel add in D's down blocks),
+# z never chunked (z concat embed_y conditions every cBN), attention
+# hard-wired at 64px — re-derived in TF2 from the reference
+# (resnet_biggan_deep.py:60-180,183-310,313-433). ch=16 keeps the 64px
+# networks CPU-sized while hitting every skip variant.
+# ---------------------------------------------------------------------------
+
+
+def _deep_g_block(v, name, x, zy, training, up, out_ch):
+    """G bottleneck block: 4 cBN+relu+conv stages; the skip drops
+    channels by SLICING (identity-preserving) and unpools — no conv."""
+    out = _cbn(v, f"{name}/conv1/bn", x, zy, training)
+    out = _conv(v, f"{name}/conv1/1x1_conv", tf.nn.relu(out), 1,
+                use_sn=True)
+    out = _cbn(v, f"{name}/conv2/bn", out, zy, training)
+    out = tf.nn.relu(out)
+    if up:
+        out = _unpool(out)
+    out = _conv(v, f"{name}/conv2/3x3_conv", out, 1, use_sn=True)
+    out = _cbn(v, f"{name}/conv3/bn", out, zy, training)
+    out = _conv(v, f"{name}/conv3/3x3_conv", tf.nn.relu(out), 1,
+                use_sn=True)
+    out = _cbn(v, f"{name}/conv4/bn", out, zy, training)
+    out = _conv(v, f"{name}/conv4/1x1_conv", tf.nn.relu(out), 1,
+                use_sn=True)
+    assert out.shape[-1] == out_ch
+    shortcut = x[:, :, :, :out_ch]
+    if up:
+        shortcut = _unpool(shortcut)
+    return out + shortcut
+
+
+def tf_biggan_deep64_g(v, z, y, training):
+    """Deep G at 64px (ch=16): blocks alternate none/up; channel drops
+    at B4/B6/B8; attention after the up-block that reaches 64px."""
+    y_emb = _linear(v, "generator/embed_y", y, use_bias=False)
+    zy = tf.concat([z, y_emb], axis=1)
+    net = _linear(v, "generator/fc_noise", zy, use_sn=True)
+    net = tf.reshape(net, (-1, 4, 4, 256))
+    out_channels = [256, 256, 256, 128, 128, 64, 64, 32]
+    for i, out_ch in enumerate(out_channels):
+        up = i % 2 == 1
+        net = _deep_g_block(v, f"generator/B{i + 1}", net, zy, training,
+                            up=up, out_ch=out_ch)
+        if up and net.shape[1] == 64:
+            net = _non_local(v, "generator/non_local_block", net)
+    net = _plain_bn_accu(v, "generator/final_norm", net, training)
+    net = _conv(v, "generator/final_conv", tf.nn.relu(net), 1, use_sn=True)
+    return (tf.tanh(net) + 1.0) / 2.0
+
+
+def _deep_d_block(v, name, x, down, out_ch):
+    """D bottleneck block (no BN): relu+conv stages; the skip pools and
+    ADDS channels by concatenating a 1x1-conv's output."""
+    out = _conv(v, f"{name}/conv1/1x1_conv", tf.nn.relu(x), 1, use_sn=True)
+    out = _conv(v, f"{name}/conv2/3x3_conv", tf.nn.relu(out), 1,
+                use_sn=True)
+    out = _conv(v, f"{name}/conv3/3x3_conv", tf.nn.relu(out), 1,
+                use_sn=True)
+    out = tf.nn.relu(out)
+    if down:
+        out = _avgpool2(out)
+    out = _conv(v, f"{name}/conv4/1x1_conv", out, 1, use_sn=True)
+    shortcut = _avgpool2(x) if down else x
+    if x.shape[-1] < out_ch:
+        added = _conv(v, f"{name}/shortcut/add_channels", shortcut, 1,
+                      use_sn=True)
+        shortcut = tf.concat([shortcut, added], axis=-1)
+    return out + shortcut
+
+
+def tf_biggan_deep64_d(v, x, y):
+    """Deep D at 64px (ch=16): initial 3x3 conv, blocks alternate
+    down/none with concat channel-adds, sum pool + SN projection."""
+    net = _conv(v, "discriminator/initial_conv", x, 1, use_sn=True)
+    out_channels = [64, 64, 128, 128, 256, 256, 256, 256]
+    for i, out_ch in enumerate(out_channels):
+        net = _deep_d_block(v, f"discriminator/B{i + 1}", net,
+                            down=i % 2 == 0, out_ch=out_ch)
+    h = tf.reduce_sum(tf.nn.relu(net), axis=[1, 2])
+    logit = _linear(v, "discriminator/final_fc", h, use_sn=True)
+    k = tf.constant(v["discriminator/embedding_fc/kernel"])
+    k = k / _sn_sigma(k, tf.constant(
+        v["discriminator/embedding_fc/kernel/u_var"]))
+    return logit + tf.reduce_sum(tf.matmul(y, k) * h, axis=1,
+                                 keepdims=True)
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_biggan_deep64_generator_forward_oracle(training):
+    gin.parse_config(
+        "G.batch_norm_fn = @conditional_batch_norm\n"
+        "G.spectral_norm = True\n"
+        "resnet_biggan_deep.Generator.ch = 16\n"
+        "standardize_batch.decay = 0.9\n"
+        "standardize_batch.epsilon = 1e-5\n"
+        "standardize_batch.use_moving_averages = False\n")
+    gen = GENERATORS["resnet_biggan_deep_arch"](image_shape=(64, 64, 3))
+
+    rng = np.random.default_rng(8)
+    z = rng.standard_normal((2, 20)).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[[1, 7]]
+
+    def g_fn(z_, y_):
+        return gen(z_, y_, is_training=training)
+
+    vars_, params, state = _init_and_randomize(g_fn, z, y, seed=8)
+    for k in state:
+        if k.endswith("update_accus"):
+            vars_[k] = state[k] = np.zeros((), np.int32)
+        elif k.endswith("accu_counter"):
+            vars_[k] = state[k] = np.float32(np.abs(vars_[k]) + 1.0)
+    got, _ = core.apply(g_fn, params, state, z, y)
+    want = tf_biggan_deep64_g(vars_, tf.constant(z), tf.constant(y),
+                              training).numpy()
+    assert want.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
+
+
+def test_biggan_deep64_discriminator_forward_oracle():
+    gin.parse_config("D.spectral_norm = True\n"
+                     "resnet_biggan_deep.Discriminator.ch = 16\n")
+    disc = DISCRIMINATORS["resnet_biggan_deep_arch"](project_y=True)
+
+    rng = np.random.default_rng(9)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[[4, 2]]
+
+    def d_fn(x_, y_):
+        return disc(x_, y_, is_training=False)
+
+    vars_, params, state = _init_and_randomize(d_fn, x, y, seed=9)
+    (pred, logit, _), _ = core.apply(d_fn, params, state, x, y)
+    want = tf_biggan_deep64_d(vars_, tf.constant(x), tf.constant(y)).numpy()
+    np.testing.assert_allclose(np.asarray(logit), want, rtol=1e-4,
+                               atol=2e-4)
