@@ -59,19 +59,25 @@ def main():
                               jax.random.PRNGKey(0))
     float(s)  # Materialize (block_until_ready can return early on axon).
 
-    t0 = time.perf_counter()
-    for i in range(BATCHES):
-        s, _ = sample_and_extract(params, state, inception,
-                                  jax.random.PRNGKey(i))
-    float(s)
-    dt = time.perf_counter() - t0
-
-    images_per_sec = BATCH * BATCHES / dt
+    # Robust statistic like bench.py: median of per-group images/sec
+    # over 4 independently-timed groups (time-shared tunnel TPU).
+    group = max(1, BATCHES // 4)
+    samples = []
+    for g in range(4):
+        t0 = time.perf_counter()
+        for i in range(group):
+            s, _ = sample_and_extract(params, state, inception,
+                                      jax.random.PRNGKey(g * group + i))
+        float(s)
+        samples.append(BATCH * group / (time.perf_counter() - t0))
+    p25, median, p75 = np.percentile(samples, [25, 50, 75])
     print(json.dumps({
         "metric": "fid_eval_images_per_sec_on_tpu",
-        "value": round(images_per_sec, 2),
+        "value": round(float(median), 2),
         "unit": "images/sec",
         "vs_baseline": None,
+        "p25": round(float(p25), 2),
+        "p75": round(float(p75), 2),
     }))
 
 
