@@ -428,9 +428,17 @@ def _eval_checkpoint_in_subprocess(checkpoint_path, run_config, batch_size,
         f.write(gin.config_str())
     env = dict(os.environ)
     # The child must land on the parent's backend even where the env
-    # pins another (the axon sitecustomize pins JAX_PLATFORMS; tests run
-    # forced-CPU): eval_single applies this before backend init.
-    env["COMPARE_GAN_EVAL_CHILD_PLATFORM"] = jax.default_backend()
+    # pins another (tests run forced-CPU while the env pins axon):
+    # eval_single applies this before backend init. Propagate the
+    # PLATFORM SELECTOR (jax.config.jax_platforms), not
+    # jax.default_backend() — the tunneled axon plugin reports its
+    # backend as "tpu", which as a selector fails to initialize ("no
+    # jellyfish device"); only the selector string round-trips.
+    platforms = jax.config.jax_platforms
+    if platforms:
+        env["COMPARE_GAN_EVAL_CHILD_PLATFORM"] = platforms
+    else:
+        env.pop("COMPARE_GAN_EVAL_CHILD_PLATFORM", None)
     argv = [sys.executable, "-m", "compare_gan_tpu.eval_single",
             f"--model_dir={run_config.model_dir}",
             f"--checkpoint={checkpoint_path}",
