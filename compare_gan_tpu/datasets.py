@@ -1089,6 +1089,19 @@ def _convex_polygons_multiclass(seed):
         colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
 
 
+def _convex_polygons_multiclass_128(seed):
+    """Flagship-resolution conditional polygons: 128x128 {3,4,5,6}-gons,
+    labels = vertex-count class (polygons.write_multiclass128_npz_dataset
+    creates the on-disk splits). The BigGAN-128 convergence-proof
+    dataset: the reference's headline recipe resolution (reference
+    resnet_biggan.py:18-25) with a visually decidable label so the
+    per-class grids verify conditioning at 128px."""
+    return ImageDatasetV2(
+        name="convex_polygons_multiclass_128",
+        tfds_name="convex_polygons_multiclass_128", resolution=128,
+        colors=1, num_classes=4, eval_test_samples=4000, seed=seed)
+
+
 def _convex_polygons_partial(seed):
     """Partially-labeled multiclass polygons (20% labeled by default;
     polygons.write_partial_npz_dataset creates the on-disk splits).
@@ -1119,6 +1132,7 @@ DATASETS: Dict[str, Callable] = {
     "celeb_a": _celeba,
     "convex_polygons": _convex_polygons,
     "convex_polygons_multiclass": _convex_polygons_multiclass,
+    "convex_polygons_multiclass_128": _convex_polygons_multiclass_128,
     "convex_polygons_oriented": _convex_polygons_oriented,
     "convex_polygons_partial": _convex_polygons_partial,
     "celeb_a_hq_128": _celeba_hq_128,

@@ -45,6 +45,11 @@ flags.DEFINE_integer("num_eval_averaging_runs", 1,
                      "How many times to average FID and IS.")
 flags.DEFINE_bool("data_fake_dataset", False,
                   "Replace real data with the fake dataset.")
+flags.DEFINE_string("score_file", None,
+                    "Full path of the results CSV (the parent forwards "
+                    "its task manager's resolved --score_filename so "
+                    "results land where the parent reads them); default "
+                    "<model_dir>/scores.csv.")
 
 
 def main(unused_argv):
@@ -59,7 +64,7 @@ def main(unused_argv):
     gan = options["gan_class"](dataset=dataset, parameters=options,
                                model_dir=FLAGS.model_dir)
     task_manager = runner_lib.TaskManagerWithCsvResults(
-        model_dir=FLAGS.model_dir)
+        model_dir=FLAGS.model_dir, score_file=FLAGS.score_file)
     runner_lib.evaluate_and_record_checkpoint(
         gan, FLAGS.checkpoint, task_manager, FLAGS.model_dir,
         batch_size=FLAGS.batch_size,

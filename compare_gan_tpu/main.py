@@ -43,12 +43,14 @@ flags.DEFINE_bool(
     "data_fake_dataset", False,
     "If True, the real data is replaced by a fake dataset.")
 flags.DEFINE_bool(
-    "eval_subprocess_per_checkpoint", False,
+    "eval_subprocess_per_checkpoint", None,
     "Evaluate each checkpoint in a fresh subprocess. Mitigates the "
     "tunneled-TPU client's per-eval host-memory retention (~6 GB per "
     "BigGAN-32 checkpoint, below JAX and unreachable from this repo) so "
     "long continuous_eval loops run at flat RSS; costs process startup "
-    "plus a compile-cache-warm recompile per checkpoint.")
+    "plus a compile-cache-warm recompile per checkpoint. Default "
+    "(unset): AUTO — enabled on the leaking tunneled-TPU backend, "
+    "disabled elsewhere.")
 flags.DEFINE_integer("num_devices", None,
                      "Devices in the mesh (default: all local).")
 flags.DEFINE_bool(

@@ -245,10 +245,21 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
     if options is None:
         # Resuming from step `meta['steps']` continues the fold_in key
         # stream exactly where an unbroken run would be; a checkpoint
-        # from a >= budget means only the eval phase was cut short.
+        # at exactly the budget means only the eval phase was cut short.
         start_step = (resume["meta"].get("steps", 0)
                       if resume is not None and "steps" in resume["meta"]
                       else 0)
+        if start_step > train_steps:
+            # A LONGER-trained regressor does not answer the requested
+            # budget's GILBO (round-4 advisor: silently evaluating it
+            # reported a different metric); retrain from scratch.
+            logging.warning(
+                "Ignoring GILBO checkpoint trained for %d steps > "
+                "requested budget %d; retraining.", start_step, train_steps)
+            start_step = 0
+            _, params, _ = core.init(fwd, jax.random.fold_in(init_key, 1),
+                                     x0)
+            opt_state = tx.init(params)
         for i in range(start_step, train_steps):
             params, opt_state, _ = train_step(
                 ts, params, opt_state, jax.random.fold_in(train_key, i))

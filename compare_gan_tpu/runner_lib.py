@@ -369,13 +369,62 @@ def _default_eval_tasks():
             fid_score.FIDScoreTask()]
 
 
+def _import_eval_task_modules():
+    """Register every eval-task class for `evaluation.eval_tasks` @refs
+    (references resolve lazily, at injection time). GILBOTask is fully
+    gin-configurable (its ctor takes outdir/train_steps/...); the rest
+    are no-arg and just need the name registered."""
+    from compare_gan_tpu.metrics import (
+        accuracy, fid_score, fractal_dimension, gilbo, inception_score,
+        jacobian_conditioning, kid_score, ms_ssim_score, prd_score)
+    if not hasattr(gilbo.GILBOTask, "__gin_name__"):
+        gin.configurable(gilbo.GILBOTask)
+    for cls in (accuracy.AccuracyTask, fid_score.FIDScoreTask,
+                fractal_dimension.FractalDimensionTask,
+                inception_score.InceptionScoreTask,
+                jacobian_conditioning.GeneratorConditionNumberTask,
+                kid_score.KIDScoreTask, ms_ssim_score.MultiscaleSSIMTask,
+                prd_score.PRDTask):
+        gin.register(cls.__name__, cls)
+
+
+@gin.configurable("evaluation")
+def _eval_settings(eval_tasks=None, num_accu_examples=204800):
+    """Gin surface for the eval loop — improves on the reference, which
+    hardcodes FID+IS and notes further metrics "can be added to this
+    list if desired" (reference runner_lib.py:249-255). Example:
+
+        evaluation.eval_tasks = [@InceptionScoreTask(), @FIDScoreTask(),
+                                 @KIDScoreTask()]
+        evaluation.num_accu_examples = 16384
+
+    `eval_tasks` entries may be instances (`@Task()`) or classes
+    (`@Task`, instantiated with gin-bound ctor args); None keeps the
+    reference default (FID + IS). `num_accu_examples` is the BN
+    accumulator fill count (reference constant 204,800,
+    eval_gan_lib.py:67)."""
+    return eval_tasks, num_accu_examples
+
+
+def _resolved_eval_settings(eval_tasks=None):
+    """(tasks, num_accu_examples) with gin applied; a caller-supplied
+    `eval_tasks` wins over the gin binding."""
+    _import_eval_task_modules()
+    gin_tasks, num_accu_examples = _eval_settings()
+    tasks = eval_tasks if eval_tasks is not None else gin_tasks
+    if tasks is None:
+        tasks = _default_eval_tasks()
+    tasks = [t() if isinstance(t, type) else t for t in tasks]
+    return tasks, num_accu_examples
+
+
 def evaluate_and_record_checkpoint(gan, checkpoint_path, task_manager,
                                    model_dir, batch_size,
                                    num_averaging_runs, eval_tasks=None):
     """One checkpoint: module export + metric eval + scores.csv row.
     NaN ⇒ sentinel 31337.0 (eval_gan_lib.NAN_DETECTED)."""
     from compare_gan_tpu import eval_gan_lib, export
-    eval_tasks = eval_tasks or _default_eval_tasks()
+    eval_tasks, num_accu_examples = _resolved_eval_settings(eval_tasks)
     step = ckpt_lib.step_of(checkpoint_path)
     # Export the module snapshot per checkpoint (reference exports
     # TF-Hub modules to model_dir/tfhub/<step>, runner_lib.py:258-264).
@@ -394,7 +443,8 @@ def evaluate_and_record_checkpoint(gan, checkpoint_path, task_manager,
     try:
         result_dict = eval_gan_lib.evaluate_checkpoint(
             gan, checkpoint_path, eval_tasks, batch_size=batch_size,
-            num_averaging_runs=num_averaging_runs)
+            num_averaging_runs=num_averaging_runs,
+            num_accu_examples=num_accu_examples)
     except eval_gan_lib.NanFoundError:
         # Fill every metric column with the sentinel so the CSV row
         # records the failure (improves on the reference, whose
@@ -409,7 +459,8 @@ def evaluate_and_record_checkpoint(gan, checkpoint_path, task_manager,
 
 
 def _eval_checkpoint_in_subprocess(checkpoint_path, run_config, batch_size,
-                                   num_averaging_runs):
+                                   num_averaging_runs, score_file=None,
+                                   timeout=2 * 3600):
     """Evaluate one checkpoint in a FRESH process (compare_gan_tpu
     .eval_single) and wait. Why: on the tunneled TPU backend the native
     client retains ~6 GB of host memory per evaluated BigGAN-32
@@ -445,9 +496,29 @@ def _eval_checkpoint_in_subprocess(checkpoint_path, run_config, batch_size,
             f"--gin_config={cfg_path}",
             f"--batch_size={batch_size}",
             f"--num_eval_averaging_runs={num_averaging_runs}"]
+    if score_file:
+        # The child must write where the parent's task manager reads:
+        # with --score_filename set, a child defaulting to scores.csv
+        # would strand every result and re-evaluate on restart
+        # (round-4 advisor).
+        argv.append(f"--score_file={score_file}")
     if datasets.FAKE_DATASET:
         argv.append("--data_fake_dataset")
-    proc = subprocess.run(argv, env=env, capture_output=True, text=True)
+    # A hung child (e.g. a stalled tunnel mid-compile) must not block the
+    # 24 h continuous_eval loop forever (round-4 advisor): give it a
+    # generous bound — BigGAN-size cold compiles run ~25 min — and
+    # surface the same RuntimeError as a crash.
+    try:
+        proc = subprocess.run(argv, env=env, capture_output=True, text=True,
+                              timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode("utf-8", "replace") \
+            if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode("utf-8", "replace") \
+            if isinstance(e.stderr, bytes) else (e.stderr or "")
+        raise RuntimeError(
+            f"Per-checkpoint eval subprocess timed out after {timeout}s "
+            f"for {checkpoint_path}:\n{out[-2000:]}\n{err[-2000:]}") from e
     if proc.returncode != 0:
         raise RuntimeError(
             f"Per-checkpoint eval subprocess failed for {checkpoint_path} "
@@ -459,25 +530,61 @@ def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
               num_averaging_runs, eval_tasks=None,
               subprocess_per_checkpoint=False):
     """Evaluate checkpoints → scores.csv (runner_lib.py:235-277)."""
+    if eval_tasks is not None and subprocess_per_checkpoint:
+        # Python task objects cannot cross the process boundary; the
+        # child resolves its tasks from the forwarded gin snapshot
+        # (`evaluation.eval_tasks`) instead (round-4 advisor).
+        raise ValueError(
+            "subprocess_per_checkpoint evaluates in a fresh process and "
+            "cannot receive in-memory eval_tasks; bind "
+            "evaluation.eval_tasks in gin instead.")
     for checkpoint_path in checkpoints:
         if ckpt_lib.step_of(checkpoint_path) == 0:
             continue
         if subprocess_per_checkpoint:
             _eval_checkpoint_in_subprocess(
                 checkpoint_path, run_config, batch_size,
-                num_averaging_runs)
+                num_averaging_runs,
+                score_file=getattr(task_manager, "_score_file", None))
         else:
             evaluate_and_record_checkpoint(
                 gan, checkpoint_path, task_manager, run_config.model_dir,
                 batch_size, num_averaging_runs, eval_tasks)
 
 
+def _eval_subprocess_default() -> bool:
+    """Auto policy for --eval_subprocess_per_checkpoint=None: True on the
+    tunneled-TPU (axon) backend, whose native client retains ~6 GB of
+    host RSS per evaluated BigGAN-size checkpoint (below JAX, pinned in
+    round 4) — the documented default command must survive a 24 h
+    continuous_eval loop without OOM. Other backends (CPU, real TPU)
+    show no leak and keep the cheaper in-process eval."""
+    sel = (jax.config.jax_platforms or
+           os.environ.get("JAX_PLATFORMS", "") or "")
+    return _is_leaking_backend(sel)
+
+
+def _is_leaking_backend(selector: str) -> bool:
+    return "axon" in selector.split(",")
+
+
 def run_with_schedule(schedule, run_config: RunConfig,
                       task_manager: TaskManager, options: Dict,
                       num_eval_averaging_runs=1, eval_every_steps=None,
                       eval_batch_size=64,
-                      eval_subprocess_per_checkpoint=False):
-    """Train / eval_after_train / continuous_eval (runner_lib.py:280-354)."""
+                      eval_subprocess_per_checkpoint=None):
+    """Train / eval_after_train / continuous_eval (runner_lib.py:280-354).
+
+    eval_subprocess_per_checkpoint: True/False force; None = auto
+    (enabled on the leaking tunneled-TPU backend, see
+    _eval_subprocess_default)."""
+    if eval_subprocess_per_checkpoint is None:
+        eval_subprocess_per_checkpoint = _eval_subprocess_default()
+        if eval_subprocess_per_checkpoint:
+            logging.info(
+                "Auto-enabled per-checkpoint subprocess eval on the "
+                "tunneled-TPU backend (flat parent RSS; override with "
+                "--noeval_subprocess_per_checkpoint).")
     if schedule not in {"train", "eval_after_train", "continuous_eval"}:
         raise ValueError(f"Schedule {schedule} not supported.")
     if run_config.tf_random_seed is not None:

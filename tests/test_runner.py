@@ -243,7 +243,11 @@ def test_eval_subprocess_per_checkpoint(tmp_path):
     os.environ[eval_utils.INCEPTION_NPZ_ENV] = str(npz)
     try:
         rc = _run_config(tmp_path)
-        tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+        # Non-default score file: the child must write where the parent
+        # reads (round-4 advisor: a child defaulting to scores.csv
+        # stranded every result and re-evaluated on restart).
+        tm = runner_lib.TaskManagerWithCsvResults(
+            str(tmp_path), score_file=str(tmp_path / "custom_scores.csv"))
         runner_lib.run_with_schedule(
             "eval_after_train", rc, tm, _options(2),
             num_eval_averaging_runs=1, eval_every_steps=None,
@@ -255,7 +259,8 @@ def test_eval_subprocess_per_checkpoint(tmp_path):
             os.environ[eval_utils.INCEPTION_NPZ_ENV] = old_env
 
     import csv
-    with open(tmp_path / "scores.csv") as f:
+    assert not (tmp_path / "scores.csv").exists()
+    with open(tmp_path / "custom_scores.csv") as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 1
     assert rows[0]["step"] == "2"
@@ -271,3 +276,57 @@ def test_eval_subprocess_per_checkpoint(tmp_path):
     with pytest.raises(RuntimeError, match="subprocess failed"):
         runner_lib._eval_checkpoint_in_subprocess(
             str(tmp_path / "model.ckpt-999.npz"), bad, 16, 1)
+
+
+def test_gin_configured_eval_tasks(tmp_path):
+    """`evaluation.eval_tasks` makes the implemented-but-non-default
+    metrics CLI-selectable (improves on the reference, which hardcodes
+    FID+IS — reference runner_lib.py:249-255): KID and MS-SSIM columns
+    land in scores.csv under the union header; the accu-fill count knob
+    is consumed from the same scope."""
+    eval_utils.set_inception_fn(_fake_inception)
+    gin.parse_config("""
+evaluation.eval_tasks = [@InceptionScoreTask(), @FIDScoreTask(),
+                         @KIDScoreTask(), @MultiscaleSSIMTask]
+evaluation.num_accu_examples = 64
+""")
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    runner_lib.run_with_schedule("eval_after_train", rc, tm, _options(2),
+                                 num_eval_averaging_runs=1,
+                                 eval_every_steps=None, eval_batch_size=16)
+    import csv
+    with open(os.path.join(tmp_path, "scores.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    for key in ["fid_score_mean", "inception_score_mean",
+                "kid_score_mean", "kid_score_std", "ms_ssim_mean"]:
+        assert key in rows[0], sorted(rows[0])
+        assert np.isfinite(float(rows[0][key]))
+    # The accu-count knob was consumed from the same scope.
+    assert runner_lib._resolved_eval_settings()[1] == 64
+
+
+def test_eval_subprocess_auto_default():
+    """None (the CLI default) auto-enables subprocess eval exactly on the
+    leaking tunneled-TPU backend selector."""
+    assert runner_lib._is_leaking_backend("axon")
+    assert runner_lib._is_leaking_backend("axon,cpu")
+    assert not runner_lib._is_leaking_backend("cpu")
+    assert not runner_lib._is_leaking_backend("tpu")
+    assert not runner_lib._is_leaking_backend("")
+    # Tests force-CPU the whole process, so the live auto policy is off.
+    assert runner_lib._eval_subprocess_default() is False
+
+
+def test_run_eval_rejects_in_memory_tasks_with_subprocess(tmp_path):
+    """Python task objects cannot cross the subprocess boundary; passing
+    both is a hard error, not a silent FID/IS fallback (round-4
+    advisor)."""
+    rc = _run_config(tmp_path)
+    tm = runner_lib.TaskManagerWithCsvResults(str(tmp_path))
+    with pytest.raises(ValueError, match="evaluation.eval_tasks"):
+        runner_lib._run_eval(
+            gan=None, checkpoints=[], task_manager=tm, run_config=rc,
+            batch_size=16, num_averaging_runs=1,
+            eval_tasks=[object()], subprocess_per_checkpoint=True)

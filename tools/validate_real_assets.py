@@ -95,6 +95,14 @@ def check_dataset(name, num_examples, report):
                 if key in feats and feats[key].bytes_list.value:
                     encoded = feats[key].bytes_list.value[0]
                     break
+            else:
+                # No image bytes under either key: report a clean failure
+                # for THIS record instead of crashing (first record) or
+                # silently re-comparing the previous record's payload
+                # (round-4 advisor).
+                detail.setdefault("records_missing_image_key", []).append(i)
+                ok = False
+                continue
             want = tf.io.decode_image(encoded).numpy()
             if want.ndim == 2:
                 want = want[:, :, None]
