@@ -51,6 +51,34 @@ def test_build_and_range(arch, shape):
     _build_and_check(arch, shape)
 
 
+# The reference's FULL multi-resolution / grayscale matrix
+# (architectures_test.py:59-155): dcgan/infogan/sndcgan at 5 shapes
+# incl. 28px and C=1, resnet5 at 4, resnet_cifar/resnet_stl grayscale.
+# Shapes already covered by test_build_and_range above are not repeated.
+@pytest.mark.parametrize("arch,shape", [
+    (c.DCGAN_ARCH, (28, 28, 1)),
+    (c.DCGAN_ARCH, (32, 32, 1)),
+    (c.DCGAN_ARCH, (32, 32, 3)),
+    pytest.param(c.DCGAN_ARCH, (128, 128, 3), marks=pytest.mark.slow),
+    (c.INFOGAN_ARCH, (28, 28, 1)),
+    (c.INFOGAN_ARCH, (32, 32, 1)),
+    pytest.param(c.INFOGAN_ARCH, (64, 64, 3), marks=pytest.mark.slow),
+    pytest.param(c.INFOGAN_ARCH, (128, 128, 3), marks=pytest.mark.slow),
+    (c.SNDCGAN_ARCH, (28, 28, 1)),
+    (c.SNDCGAN_ARCH, (32, 32, 1)),
+    pytest.param(c.SNDCGAN_ARCH, (64, 64, 3), marks=pytest.mark.slow),
+    pytest.param(c.SNDCGAN_ARCH, (128, 128, 3), marks=pytest.mark.slow),
+    (c.RESNET5_ARCH, (32, 32, 1)),
+    (c.RESNET5_ARCH, (32, 32, 3)),
+    pytest.param(c.RESNET5_ARCH, (64, 64, 3), marks=pytest.mark.slow),
+    (c.RESNET_CIFAR_ARCH, (32, 32, 1)),
+    pytest.param(c.RESNET_STL_ARCH, (48, 48, 1),
+                 marks=pytest.mark.slow),
+])
+def test_build_and_range_reference_matrix(arch, shape):
+    _build_and_check(arch, shape)
+
+
 @pytest.mark.slow
 def test_build_resnet30():
     _build_and_check(c.RESNET30_ARCH, (128, 128, 3))
@@ -93,6 +121,75 @@ class TestBigGan:
                 assert tuple(g_params[name].shape) == (1000, 128)
             if layer == "up_conv_shortcut" and var_name == "kernel":
                 assert tuple(g_params[name].shape[:2]) == (1, 1)
+
+    # Required gin settings per resolution (reference
+    # resnet_biggan.py:48-62): z_dim and attention block placement.
+    _HIGH_RES = {
+        256: dict(z_dim=140, g_att="B5", d_att="B2",
+                  golden_g=82097604, golden_d=98635298),
+        512: dict(z_dim=160, g_att="B4", d_att="B3",
+                  golden_g=82468068, golden_d=98801378),
+    }
+
+    @pytest.mark.parametrize("resolution", [256, 512])
+    def test_golden_param_counts_high_res(self, resolution):
+        """Full-channel 256/512 parameter counts match the reference's
+        published numbers exactly (resnet_biggan.py:48-62: G 82,097,604 /
+        D 98,635,298 @256; G 82,468,068 / D 98,801,378 @512). Counted
+        via jax.eval_shape so no memory is allocated."""
+        cfg = self._HIGH_RES[resolution]
+        gen = resnet_biggan.Generator(
+            image_shape=(resolution, resolution, 3),
+            batch_norm_fn=arch_ops.conditional_batch_norm,
+            blocks_with_attention=cfg["g_att"])
+        disc = resnet_biggan.Discriminator(
+            blocks_with_attention=cfg["d_att"])
+
+        def net(z, y):
+            fake = gen(z, y, is_training=True)
+            return disc(fake, y, is_training=True)
+
+        z = jnp.zeros((2, cfg["z_dim"]))
+        y = jax.nn.one_hot(jnp.ones((2,), jnp.int32), 1000)
+        params = jax.eval_shape(
+            lambda zz, yy: core.init(net, jax.random.PRNGKey(0), zz, yy)[1],
+            z, y)
+        g_params = core.filter_prefix(params, "generator")
+        d_params = core.filter_prefix(params, "discriminator")
+        count = lambda p: sum(  # noqa: E731
+            int(np.prod(s.shape)) for s in p.values())
+        assert count(g_params) == cfg["golden_g"]
+        assert count(d_params) == cfg["golden_d"]
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("resolution", [256, 512])
+    def test_builds_and_range_high_res_reduced_ch(self, resolution):
+        """EXECUTE the 256/512 paths with reduced channels (the
+        reference's OOM-avoidance trick, architectures_test.py:103-122:
+        ch=16) — forward through G and D with attention at the
+        published block placements, range/shape checked."""
+        cfg = self._HIGH_RES[resolution]
+        gen = resnet_biggan.Generator(
+            image_shape=(resolution, resolution, 3), ch=16,
+            batch_norm_fn=arch_ops.conditional_batch_norm,
+            blocks_with_attention=cfg["g_att"])
+        disc = resnet_biggan.Discriminator(
+            ch=16, blocks_with_attention=cfg["d_att"])
+
+        def net(z, y):
+            fake = gen(z, y, is_training=True)
+            out, logits, h = disc(fake, y, is_training=True)
+            return fake, out, logits
+
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg["z_dim"]))
+        y = jax.nn.one_hot(jnp.arange(2), 10)
+        (fake, out, logits), params, state = core.init(
+            net, jax.random.PRNGKey(0), z, y)
+        assert fake.shape == (2, resolution, resolution, 3)
+        assert np.asarray(fake).min() >= 0.0
+        assert np.asarray(fake).max() <= 1.0
+        assert logits.shape == (2, 1)
+        assert np.asarray(out).min() >= 0.0 and np.asarray(out).max() <= 1.0
 
     @pytest.mark.slow
     def test_conditional_output_shapes_64(self):
@@ -137,3 +234,60 @@ class TestBigGanDeep:
         d_params = core.filter_prefix(params, "discriminator")
         assert core.count_params(g_params) == 50244484
         assert core.count_params(d_params) == 34590210
+
+    # The reference publishes no deep-variant counts above 128 and its
+    # test matrix stops there; these are REPO-pinned goldens (computed
+    # once via eval_shape from the same topology rules the 128 golden
+    # validates) so the 256/512 tables can't silently regress.
+    _HIGH_RES = {
+        256: dict(z_dim=140, golden_g=56710532, golden_d=38247426),
+        512: dict(z_dim=160, golden_g=58645316, golden_d=38301122),
+    }
+
+    @pytest.mark.parametrize("resolution", [256, 512])
+    def test_param_counts_high_res(self, resolution):
+        cfg = self._HIGH_RES[resolution]
+        gen = resnet_biggan_deep.Generator(
+            image_shape=(resolution, resolution, 3),
+            batch_norm_fn=arch_ops.conditional_batch_norm)
+        disc = resnet_biggan_deep.Discriminator()
+
+        def net(z, y):
+            fake = gen(z, y, is_training=True)
+            return disc(fake, y, is_training=True)
+
+        z = jnp.zeros((2, cfg["z_dim"]))
+        y = jax.nn.one_hot(jnp.ones((2,), jnp.int32), 1000)
+        params = jax.eval_shape(
+            lambda zz, yy: core.init(net, jax.random.PRNGKey(0), zz, yy)[1],
+            z, y)
+        g_params = core.filter_prefix(params, "generator")
+        d_params = core.filter_prefix(params, "discriminator")
+        count = lambda p: sum(  # noqa: E731
+            int(np.prod(s.shape)) for s in p.values())
+        assert count(g_params) == cfg["golden_g"]
+        assert count(d_params) == cfg["golden_d"]
+
+    @pytest.mark.parametrize("resolution", [256, 512])
+    def test_builds_and_range_high_res_reduced_ch(self, resolution):
+        """EXECUTE the deep 256/512 paths with reduced channels
+        (ch=16), forward through G and D, range/shape checked."""
+        cfg = self._HIGH_RES[resolution]
+        gen = resnet_biggan_deep.Generator(
+            image_shape=(resolution, resolution, 3), ch=16,
+            batch_norm_fn=arch_ops.conditional_batch_norm)
+        disc = resnet_biggan_deep.Discriminator(ch=16)
+
+        def net(z, y):
+            fake = gen(z, y, is_training=True)
+            out, logits, h = disc(fake, y, is_training=True)
+            return fake, out, logits
+
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg["z_dim"]))
+        y = jax.nn.one_hot(jnp.arange(2), 10)
+        (fake, out, logits), params, state = core.init(
+            net, jax.random.PRNGKey(0), z, y)
+        assert fake.shape == (2, resolution, resolution, 3)
+        assert np.asarray(fake).min() >= 0.0
+        assert np.asarray(fake).max() <= 1.0
+        assert logits.shape == (2, 1)
