@@ -121,8 +121,11 @@ def tf_sndcgan_g(v, z, training):
     return (tf.tanh(net) + 1.0) / 2.0
 
 
-def tf_sndcgan_d(v, x):
-    """Reference sndcgan.py:84-127: 7 SN convs, leak 0.1, SN final fc."""
+def tf_sndcgan_d(v, x, return_features=False):
+    """Reference sndcgan.py:84-127: 7 SN convs, leak 0.1, SN final fc.
+    With return_features, also yields the flattened penultimate features
+    (the reference D's third return, which the SSGAN/S3GAN heads
+    consume)."""
     net = x * 2.0 - 1.0
     for scope, stride in [("d_conv1", 1), ("d_conv2", 2), ("d_conv3", 1),
                           ("d_conv4", 2), ("d_conv5", 1), ("d_conv6", 2),
@@ -131,6 +134,8 @@ def tf_sndcgan_d(v, x):
         net = tf.nn.leaky_relu(net, alpha=0.1)
     net = tf.reshape(net, (x.shape[0], -1))
     logit = _linear(v, "discriminator/d_fc1", net, use_sn=True)
+    if return_features:
+        return logit, net
     return logit
 
 
@@ -605,3 +610,125 @@ def test_biggan_deep64_discriminator_forward_oracle():
     want = tf_biggan_deep64_d(vars_, tf.constant(x), tf.constant(y)).numpy()
     np.testing.assert_allclose(np.asarray(logit), want, rtol=1e-4,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SSGAN / S3GAN HEAD oracles: the GAN-subclass heads on top of the
+# (already-oracled) sndcgan D, on shared weights — the last
+# network-level parity surface behind the importer. Re-derived in TF2
+# from the reference: rotation head = SN linear
+# 'discriminator_rotation/score_classify' on the flattened penultimate
+# features (ssgan.py:80-102); S3GAN adds the predictor head, the
+# imputed-label blend gated by is_label_available, and the SN
+# glorot-init projection embedding (s3gan.py:96-172).
+# ---------------------------------------------------------------------------
+
+
+def test_ssgan_rotation_head_forward_oracle():
+    from compare_gan_tpu import datasets
+    from compare_gan_tpu.gans.ssgan import SSGAN
+
+    datasets.set_fake_dataset(True)
+    try:
+        gin.parse_config("D.spectral_norm = True")
+        ds = datasets.get_dataset("cifar10")
+        gan = SSGAN(dataset=ds, model_dir="/tmp/ssgan_oracle",
+                    parameters={"architecture": "sndcgan_arch",
+                                "z_dim": 128, "lambda": 1,
+                                "disc_iters": 1},
+                    self_supervision="rotation_gan", rotated_batch_size=8)
+
+        def head_fn(x_):
+            return gan.discriminator_with_rotation_head(
+                x_, None, is_training=False)
+
+        x = np.random.default_rng(11).random((4, 32, 32, 3)) \
+            .astype(np.float32)
+        vars_, params, state = _init_and_randomize(head_fn, x, seed=11)
+        (probs, logits, rot), _ = core.apply(head_fn, params, state, x)
+
+        want_logit, flat = tf_sndcgan_d(vars_, tf.constant(x),
+                                        return_features=True)
+        want_rot = _linear(vars_, "discriminator_rotation/score_classify",
+                           flat, use_sn=True)
+        assert rot.shape == (4, 4)
+        np.testing.assert_allclose(np.asarray(logits), want_logit.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rot), want_rot.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(probs),
+            1.0 / (1.0 + np.exp(-want_logit.numpy())),
+            rtol=1e-4, atol=1e-5)
+    finally:
+        datasets.set_fake_dataset(False)
+
+
+@pytest.mark.parametrize("use_soft_pred", [True, False])
+def test_s3gan_additional_heads_forward_oracle(use_soft_pred):
+    """Predictor + projection + rotation heads with a PARTIALLY-labeled
+    batch (two all-zero label rows): the projection must consume the
+    predictor-imputed labels exactly where is_label_available is 0
+    (reference s3gan.py:118-146)."""
+    from compare_gan_tpu import datasets
+    from compare_gan_tpu.gans.s3gan import S3GAN
+
+    datasets.set_fake_dataset(True)
+    try:
+        gin.parse_config("D.spectral_norm = True")
+        ds = datasets.get_dataset("cifar10")
+        gan = S3GAN(dataset=ds, model_dir="/tmp/s3gan_oracle",
+                    parameters={"architecture": "sndcgan_arch",
+                                "z_dim": 128, "lambda": 1,
+                                "disc_iters": 1},
+                    conditional=True, self_supervision="rotation",
+                    rotated_batch_fraction=4, project_y=True,
+                    use_predictor=True, use_soft_pred=use_soft_pred)
+
+        rng = np.random.default_rng(12)
+        x = rng.random((4, 32, 32, 3)).astype(np.float32)
+        y = np.zeros((4, 10), np.float32)
+        y[0, 3] = 1.0
+        y[2, 7] = 1.0  # Rows 1 and 3 carry NO label (the -1 contract).
+
+        def head_fn(x_, y_):
+            return gan.discriminator_with_additonal_heads(
+                x_, y_, is_training=False)
+
+        vars_, params, state = _init_and_randomize(head_fn, x, y, seed=12)
+        (probs, logits, rot, aux, avail), _ = core.apply(
+            head_fn, params, state, x, y)
+
+        base_logit, flat = tf_sndcgan_d(vars_, tf.constant(x),
+                                        return_features=True)
+        want_rot = _linear(vars_, "discriminator_rotation/score_classify",
+                           flat, use_sn=True)
+        want_aux = _linear(
+            vars_, "discriminator_predictor/predictor_linear", flat,
+            use_sn=True)
+        want_avail = tf.cast(
+            tf.reduce_sum(y, axis=1, keepdims=True) > 0.5, tf.float32)
+        if use_soft_pred:
+            y_pred = tf.nn.softmax(want_aux)
+        else:
+            y_pred = tf.one_hot(tf.argmax(want_aux, 1), 10)
+        y_merged = (1.0 - want_avail) * y_pred + want_avail * y
+        k = tf.constant(vars_["discriminator_projection/kernel"])
+        k = k / _sn_sigma(k, tf.constant(
+            vars_["discriminator_projection/kernel/u_var"]))
+        want_logit = base_logit + tf.reduce_sum(
+            tf.matmul(y_merged, k) * flat, axis=1, keepdims=True)
+
+        np.testing.assert_allclose(np.asarray(avail), want_avail.numpy())
+        np.testing.assert_allclose(np.asarray(aux), want_aux.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rot), want_rot.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(logits), want_logit.numpy(),
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(probs),
+            1.0 / (1.0 + np.exp(-want_logit.numpy())),
+            rtol=1e-4, atol=1e-5)
+    finally:
+        datasets.set_fake_dataset(False)
