@@ -39,6 +39,7 @@ def test_expected_configs_shipped():
     assert names == {"biggan_imagenet128.gin", "dcgan_celeba64.gin",
                      "dcgan_polygons28.gin",
                      "biggan32_polygons_multiclass.gin",
+                     "biggan128_polygons_multiclass.gin",
                      "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
                      "sndcgan_celebahq128.gin",
                      "s3gan32_polygons_partial.gin",
@@ -51,6 +52,9 @@ def test_expected_configs_shipped():
 _AUDIT_SHRINK = {
     "biggan_imagenet128.gin": ["resnet_biggan.Generator.ch = 16",
                                "resnet_biggan.Discriminator.ch = 16"],
+    "biggan128_polygons_multiclass.gin": [
+        "resnet_biggan.Generator.ch = 16",
+        "resnet_biggan.Discriminator.ch = 16"],
     # The audit traces with batch 2; the recipe's rotated_batch_size=64
     # implies 16 rotated images per sub-batch, which SSGAN (correctly)
     # rejects when the batch is smaller.
@@ -93,6 +97,8 @@ def test_every_binding_is_consumed(path):
     from compare_gan_tpu.ops import rng as random_ops
     with random_ops.rng_context(jax.random.PRNGKey(0)):
         eval_gan_lib.z_generator((2, 4))
+    # The eval loop's gin surface consumes evaluation.* bindings.
+    runner_lib._resolved_eval_settings()
 
     bound = {f"{s}.{p}" for s, ps in gin._BINDINGS.items() for p in ps}
     consumed = {f"{s}.{p}" for s, ps in gin._OPERATIVE.items() for p in ps}
