@@ -1116,6 +1116,18 @@ def _convex_polygons_partial(seed):
         colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
 
 
+def _convex_polygons_partial_oriented(seed):
+    """Partially-labeled ORIENTED multiclass polygons
+    (polygons.write_partial_oriented_npz_dataset): ramp-shaded 32x32
+    {3,4,5,6}-gons with only 20% of train labels kept. The S3GAN
+    FULL-semantics convergence dataset — both the rotation pretext and
+    label imputation are live signals here."""
+    return ImageDatasetV2(
+        name="convex_polygons_partial_oriented",
+        tfds_name="convex_polygons_partial_oriented", resolution=32,
+        colors=1, num_classes=4, eval_test_samples=10000, seed=seed)
+
+
 def _convex_polygons_oriented(seed):
     """Unconditional 32x32 {3,4,5,6}-gons with a vertical shading ramp
     (polygons.write_oriented_npz_dataset creates the on-disk splits).
@@ -1135,6 +1147,7 @@ DATASETS: Dict[str, Callable] = {
     "convex_polygons_multiclass_128": _convex_polygons_multiclass_128,
     "convex_polygons_oriented": _convex_polygons_oriented,
     "convex_polygons_partial": _convex_polygons_partial,
+    "convex_polygons_partial_oriented": _convex_polygons_partial_oriented,
     "celeb_a_hq_128": _celeba_hq_128,
     "cifar10": _simple("cifar10", "cifar10", 32, 3, 10, 10000),
     "fashion-mnist": _simple("fashion-mnist", "fashion_mnist", 28, 1, 10,

@@ -253,6 +253,36 @@ def write_partial_npz_dataset(data_dir: str, labeled_frac: float = 0.2,
         images, labels, n_train, n_test, n_holdout)
 
 
+def write_partial_oriented_npz_dataset(data_dir: str,
+                                       labeled_frac: float = 0.2,
+                                       n_train: int = 60000,
+                                       n_test: int = 10000,
+                                       n_holdout: int = 10000,
+                                       seed: int = 0, **kwargs) -> str:
+    """Write PARTIALLY-LABELED ORIENTED multiclass splits as
+    `<data_dir>/convex_polygons_partial_oriented/{...}.npz`: the
+    vertical-ramp shading (the SSGAN proof's orientation cue) plus the
+    S3GAN 20%-labels regime. On this set BOTH of S3GAN's auxiliary
+    signals are live: rotation prediction is learnable (the ramp breaks
+    rotation invariance) AND the predictor must impute labels — unlike
+    `convex_polygons_partial`, whose uniformly rotated polygons make
+    the rotation pretext unlearnable by construction (its weight-1.0
+    CE then feeds constant-magnitude noise gradients into D's trunk;
+    measured root cause of the late-training FID degradation in the
+    round-4 recipe — see docs/convergence_s3gan/README)."""
+    if not 0.0 < labeled_frac <= 1.0:
+        raise ValueError("labeled_frac must be in (0, 1].")
+    total = n_train + n_test + n_holdout
+    images, labels = generate_oriented_dataset(total, seed=seed, **kwargs)
+    rng = np.random.RandomState(seed + 1)
+    drop = rng.uniform(size=n_train) >= labeled_frac
+    labels = labels.copy()
+    labels[:n_train][drop] = -1
+    return _write_splits(
+        os.path.join(data_dir, "convex_polygons_partial_oriented"),
+        images, labels, n_train, n_test, n_holdout)
+
+
 def write_npz_dataset(data_dir: str, n_train: int = 60000,
                       n_test: int = 10000, n_holdout: int = 10000,
                       seed: int = 0, **kwargs) -> str:

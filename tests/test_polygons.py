@@ -189,3 +189,46 @@ def test_oriented_npz_roundtrip_through_registry(tmp_path, monkeypatch):
     assert ds.num_classes is None
     batch = next(ds.train_input_fn(batch_size=4))
     assert batch["images"].shape == (4, 32, 32, 1)
+
+
+def test_multiclass128_dataset_writer(tmp_path, monkeypatch):
+    """write_multiclass128_npz_dataset: flagship-resolution splits ride
+    the registry at 128px with 4 decidable classes."""
+    polygons.write_multiclass128_npz_dataset(str(tmp_path), n_train=24,
+                                             n_test=8, n_holdout=8)
+    arr = np.load(tmp_path / "convex_polygons_multiclass_128" / "train.npz")
+    assert arr["images"].shape == (24, 128, 128, 1)
+    assert arr["images"].dtype == np.uint8
+    assert set(np.unique(arr["labels"])) <= {0, 1, 2, 3}
+    monkeypatch.setattr(datasets, "DATA_DIR", str(tmp_path))
+    datasets.set_fake_dataset(False)
+    ds = datasets.get_dataset("convex_polygons_multiclass_128")
+    assert ds.num_classes == 4
+    batch = next(ds.train_input_fn(batch_size=4))
+    assert batch["images"].shape == (4, 128, 128, 1)
+    assert float(np.asarray(batch["images"]).max()) <= 1.0
+
+
+def test_partial_oriented_dataset_writer(tmp_path):
+    """write_partial_oriented_npz_dataset: oriented (ramp-shaded) images
+    with the partial-label contract — BOTH S3GAN auxiliary signals
+    live."""
+    polygons.write_partial_oriented_npz_dataset(
+        str(tmp_path), labeled_frac=0.25, n_train=256, n_test=32,
+        n_holdout=32)
+    polygons.write_oriented_npz_dataset(str(tmp_path), n_train=256,
+                                        n_test=32, n_holdout=32)
+    for split in ("train", "test", "holdout"):
+        part = np.load(tmp_path / "convex_polygons_partial_oriented"
+                       / f"{split}.npz")
+        full = np.load(tmp_path / "convex_polygons_oriented"
+                       / f"{split}.npz")
+        # Same images as the SSGAN-proof oriented set (same seed) —
+        # its rotation-learnability evidence transfers.
+        np.testing.assert_array_equal(part["images"], full["images"])
+        if split == "train":
+            frac = (part["labels"] >= 0).mean()
+            assert 0.15 < frac < 0.35, frac
+            assert set(part["labels"][part["labels"] < 0]) == {-1}
+        else:
+            assert (part["labels"] >= 0).all()
