@@ -63,3 +63,28 @@ def test_jsonl_fallback(tmp_path, monkeypatch):
     assert rows[0] == {k: rows[0][k] for k in rows[0]}
     assert rows[0]["tag"] == "loss/g" and rows[0]["value"] == 2.5
     assert rows[1]["tag"] == "fake_images"
+
+
+def test_tb_scalars_roundtrip(tmp_path):
+    """tools/tb_scalars.py reads back what SummaryWriter wrote — both
+    the TF-events backend and the JSONL fallback — with restart
+    semantics (later write for the same step wins)."""
+    from tools import tb_scalars
+    w = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=1)
+    w.scalars({"loss/d_loss": 0.75, "loss/g_loss": 1.5}, step=250)
+    w.scalars({"loss/d_loss": 0.5}, step=500)
+    w.close()
+    # A restarted run re-emits step 500 with a different value.
+    w2 = summaries_lib.SummaryWriter(str(tmp_path), save_summary_steps=1)
+    w2.scalar("loss/d_loss", 0.25, step=500)
+    w2.close()
+    series = tb_scalars.read_scalars(str(tmp_path))
+    assert series["loss/d_loss"] == [(250, 0.75), (500, 0.25)]
+    assert series["loss/g_loss"] == [(250, 1.5)]
+
+    # JSONL fallback rows merge into the same series.
+    with open(os.path.join(tmp_path, "summaries.jsonl"), "w") as f:
+        f.write(json.dumps({"step": 750, "tag": "loss/g_loss",
+                            "value": 0.1, "time": 0.0}) + "\n")
+    series = tb_scalars.read_scalars(str(tmp_path))
+    assert series["loss/g_loss"] == [(250, 1.5), (750, 0.1)]
