@@ -43,6 +43,7 @@ def test_expected_configs_shipped():
                      "resnet_cifar10.gin", "resnet_lsun-bedroom128.gin",
                      "sndcgan_celebahq128.gin",
                      "s3gan32_polygons_partial.gin",
+                     "s3gan32_polygons_partial_oriented.gin",
                      "ssgan32_polygons_oriented.gin"}
 
 
