@@ -65,6 +65,8 @@ _AUDIT_SHRINK = {
     # and the convergence run — here only binding consumption matters,
     # and S3GAN.* constructor bindings are consumed at __init__.
     "s3gan32_polygons_partial.gin": ['S3GAN.self_supervision = "none"'],
+    "s3gan32_polygons_partial_oriented.gin": [
+        'S3GAN.self_supervision = "none"'],
 }
 
 
