@@ -35,18 +35,28 @@ import os
 import numpy as np
 
 
-def generate_convex_polygon(rng: np.random.RandomState, n_vertices: int,
-                            min_segment_angle: float, scale: float,
-                            raster_dim: int, subpixel_res: int,
-                            shift_to_mean: bool = False) -> np.ndarray:
-    """One [raster_dim, raster_dim] float32 image in [0, 1]."""
+def _draw_vertex_angles(rng: np.random.RandomState, n_vertices: int,
+                        min_segment_angle: float) -> np.ndarray:
+    """The ONLY rng consumption of one polygon: its vertex angles (rad).
+
+    Kept as a separate step so dataset writers can thread the sequential
+    RandomState through all instances cheaply and hand the expensive
+    rasterization to worker processes — the parallel path consumes the
+    stream identically, so its output is bit-identical to the serial one
+    (asserted in tests/test_polygons.py)."""
     segment = 360.0 / n_vertices
     # Per-segment vertex angle with half-margins at both segment ends.
     offsets = rng.rand(n_vertices) * (segment - min_segment_angle)
     angles = (np.arange(n_vertices) * segment + min_segment_angle / 2.0
               + offsets)
-    angles = np.radians(angles + rng.rand() * 360.0)  # Random rotation.
+    return np.radians(angles + rng.rand() * 360.0)  # Random rotation.
 
+
+def _rasterize_polygon(angles: np.ndarray, scale: float, raster_dim: int,
+                       subpixel_res: int,
+                       shift_to_mean: bool = False) -> np.ndarray:
+    """Rasterize pre-drawn vertex angles (rng-free, process-parallel
+    safe): one [raster_dim, raster_dim] float32 image in [0, 1]."""
     center = raster_dim / 2.0
     radius = scale * raster_dim / 2.0
     vx = center + radius * np.cos(angles)
@@ -73,6 +83,34 @@ def generate_convex_polygon(rng: np.random.RandomState, n_vertices: int,
     # Box-average each pixel's r x r subpixel block.
     blocks = outside.reshape(raster_dim, r, raster_dim, r)
     return blocks.mean(axis=(1, 3))
+
+
+def generate_convex_polygon(rng: np.random.RandomState, n_vertices: int,
+                            min_segment_angle: float, scale: float,
+                            raster_dim: int, subpixel_res: int,
+                            shift_to_mean: bool = False) -> np.ndarray:
+    """One [raster_dim, raster_dim] float32 image in [0, 1]."""
+    angles = _draw_vertex_angles(rng, n_vertices, min_segment_angle)
+    return _rasterize_polygon(angles, scale, raster_dim, subpixel_res,
+                              shift_to_mean)
+
+
+def _rasterize_all(per_image_angles, scale, raster_dim, subpixel_res,
+                   shift_to_mean=False, n_workers=0):
+    """Rasterize a list of pre-drawn angle arrays, optionally across
+    worker processes. The rng was already consumed by _draw_vertex_angles
+    in instance order, so worker scheduling cannot change the output."""
+    if n_workers and len(per_image_angles) > 1:
+        import multiprocessing
+
+        args = [(a, scale, raster_dim, subpixel_res, shift_to_mean)
+                for a in per_image_angles]
+        with multiprocessing.Pool(n_workers) as pool:
+            images = pool.starmap(_rasterize_polygon, args, chunksize=64)
+        return np.stack(images)
+    return np.stack([
+        _rasterize_polygon(a, scale, raster_dim, subpixel_res,
+                           shift_to_mean) for a in per_image_angles])
 
 
 def generate_dataset(n_instances: int, n_vertices: int = 3,
@@ -105,13 +143,16 @@ def generate_multiclass_dataset(n_instances: int,
                                 min_segment_angle: float = 20.0,
                                 scale: float = 0.75, raster_dim: int = 32,
                                 subpixel_res: int = 8,
-                                shift_to_mean: bool = False, seed: int = 0):
+                                shift_to_mean: bool = False, seed: int = 0,
+                                n_workers: int = 0):
     """Returns (images [N, raster_dim, raster_dim, 1] float32 in [0, 1],
     labels [N] int in [0, len(classes))), shuffled. Class c rasterizes a
     classes[c]-gon — the conditional-GAN variant of the paper's
     triangles-only set: vertex count is visually decidable, so a
     class-conditional model's per-class sample grids are a direct visual
-    check that label conditioning (cBN + projection D) learned."""
+    check that label conditioning (cBN + projection D) learned.
+    `n_workers > 0` rasterizes across that many processes with
+    bit-identical output (rng drawing stays sequential)."""
     classes = tuple(classes)
     if any(c < 3 for c in classes):
         raise ValueError("Need more than 2 vertices.")
@@ -119,10 +160,10 @@ def generate_multiclass_dataset(n_instances: int,
         raise ValueError("The minimum segment angle is infeasible.")
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, len(classes), size=n_instances)
-    images = np.stack([
-        generate_convex_polygon(rng, classes[y], min_segment_angle, scale,
-                                raster_dim, subpixel_res, shift_to_mean)
-        for y in labels])
+    angles = [_draw_vertex_angles(rng, classes[y], min_segment_angle)
+              for y in labels]
+    images = _rasterize_all(angles, scale, raster_dim, subpixel_res,
+                            shift_to_mean, n_workers=n_workers)
     ids = rng.permutation(n_instances)
     return images[ids, :, :, None], labels[ids].astype(np.int64)
 
@@ -133,7 +174,7 @@ def generate_oriented_dataset(n_instances: int,
                               scale: float = 0.75, raster_dim: int = 32,
                               subpixel_res: int = 8,
                               gradient_floor: float = 0.55,
-                              seed: int = 0):
+                              seed: int = 0, n_workers: int = 0):
     """Mixed {3,4,5,6}-gons whose background is shaded by a vertical
     luminance ramp (1.0 at the top row down to `gradient_floor` at the
     bottom), giving the otherwise rotation-invariant polygon distribution
@@ -156,10 +197,10 @@ def generate_oriented_dataset(n_instances: int,
     ramp = np.linspace(1.0, gradient_floor, raster_dim,
                        dtype=np.float32)[:, None]
     labels = rng.randint(0, len(classes), size=n_instances)
-    images = np.stack([
-        generate_convex_polygon(rng, classes[y], min_segment_angle, scale,
-                                raster_dim, subpixel_res) * ramp
-        for y in labels])
+    angles = [_draw_vertex_angles(rng, classes[y], min_segment_angle)
+              for y in labels]
+    images = _rasterize_all(angles, scale, raster_dim, subpixel_res,
+                            n_workers=n_workers) * ramp[None]
     ids = rng.permutation(n_instances)
     return images[ids, :, :, None], labels[ids].astype(np.int64)
 

@@ -38,6 +38,22 @@ def test_dataset_surface_and_determinism():
     assert not np.array_equal(a_imgs, c_imgs)
 
 
+def test_parallel_rasterization_is_bit_identical():
+    """`n_workers > 0` moves only the rng-free rasterization into worker
+    processes; the RandomState stream is consumed sequentially by
+    _draw_vertex_angles beforehand, so worker scheduling cannot reorder
+    it — outputs must be BIT-identical to the serial path (this is what
+    lets the 128px flagship dataset generate in parallel without
+    changing the committed convergence data)."""
+    for gen, kwargs in [
+            (polygons.generate_multiclass_dataset, {"raster_dim": 32}),
+            (polygons.generate_oriented_dataset, {})]:
+        serial = gen(24, seed=7, n_workers=0, **kwargs)
+        par = gen(24, seed=7, n_workers=2, **kwargs)
+        np.testing.assert_array_equal(serial[0], par[0])
+        np.testing.assert_array_equal(serial[1], par[1])
+
+
 @pytest.mark.parametrize("kwargs", [
     {"n_vertices": 2}, {"min_segment_angle": 200.0}, {"scale": 1.5},
     {"raster_dim": 1}])
