@@ -13,7 +13,21 @@ Example:
 
 from __future__ import annotations
 
-from absl import app, flags, logging
+import os
+
+# Must run before any jax backend init: a parent driving this binary as
+# a training-chunk child (runner_lib._train_in_subprocess_chunks) pins
+# its own platform selector here so the child matches it even where the
+# environment pins another (the axon sitecustomize pins
+# JAX_PLATFORMS=axon; CI tests run forced-CPU). Same contract as
+# eval_single's COMPARE_GAN_EVAL_CHILD_PLATFORM.
+_platform = os.environ.get("COMPARE_GAN_CHILD_PLATFORM")
+if _platform:
+    import jax
+
+    jax.config.update("jax_platforms", _platform)
+
+from absl import app, flags, logging  # noqa: E402
 
 from compare_gan_tpu import config as gin
 from compare_gan_tpu import datasets, runner_lib
@@ -51,6 +65,19 @@ flags.DEFINE_bool(
     "plus a compile-cache-warm recompile per checkpoint. Default "
     "(unset): AUTO — enabled on the leaking tunneled-TPU backend, "
     "disabled elsewhere.")
+flags.DEFINE_integer(
+    "train_subprocess_steps", 0,
+    "When > 0, run the training phase as a sequence of child processes "
+    "advancing at most this many steps each (each child resumes from "
+    "the latest checkpoint, trains to its bound, checkpoints and "
+    "exits). Mitigates the tunneled-TPU client's host-memory retention "
+    "on the TRAINING path (~38 GB parent RSS after a 7 h BigGAN-128 "
+    "run; below JAX, unreachable from this repo) the same way "
+    "--eval_subprocess_per_checkpoint does for eval. Bitwise-resume "
+    "determinism makes the chunked run equal to an unbroken one. Costs "
+    "per chunk: process startup + a compile-cache-warm recompile + the "
+    "input fast-forward, so pick chunks of thousands of steps (e.g. "
+    "5000, one checkpoint interval). 0 (default) trains in-process.")
 flags.DEFINE_integer("num_devices", None,
                      "Devices in the mesh (default: all local).")
 flags.DEFINE_bool(
@@ -130,7 +157,8 @@ def main(unused_argv):
         options=options,
         num_eval_averaging_runs=FLAGS.num_eval_averaging_runs,
         eval_every_steps=(FLAGS.eval_every_steps or None),
-        eval_subprocess_per_checkpoint=FLAGS.eval_subprocess_per_checkpoint)
+        eval_subprocess_per_checkpoint=FLAGS.eval_subprocess_per_checkpoint,
+        train_subprocess_steps=FLAGS.train_subprocess_steps)
     logging.info("Finished schedule %s.", FLAGS.schedule)
 
 

@@ -526,6 +526,109 @@ def _eval_checkpoint_in_subprocess(checkpoint_path, run_config, batch_size,
             f"\n{proc.stderr[-2000:]}")
 
 
+def _train_in_subprocess_chunks(run_config: RunConfig, options: Dict,
+                                chunk_steps: int,
+                                timeout_per_chunk=6 * 3600):
+    """Run the training schedule as a sequence of bounded-step child
+    processes (`compare_gan_tpu.main --schedule=train`) so the PARENT's
+    host RSS stays flat on the tunneled-TPU backend.
+
+    Why: the tunnel's native client retains host memory on the training
+    path too, not just eval — a 7 h BigGAN-128 train grew the parent to
+    ~38 GB RSS (checkpoint/summary D2H fetches; python heap and
+    jax.live_arrays() flat, i.e. the same below-JAX retention pinned for
+    eval in round 4). Each child advances the run by at most
+    `chunk_steps` steps, checkpoints at its bound (the train loop always
+    saves at max_steps), and exits — releasing its client's memory.
+    Bitwise-resume determinism (checkpoint restore + input-stream
+    fast-forward, tests/test_resume_determinism.py) makes the chunked
+    run equal to an unbroken one; tests/test_train_subprocess.py asserts
+    final-checkpoint bitwise equality.
+
+    Costs per chunk: process startup, a compile-cache-warm recompile
+    (~2 min for BigGAN-size graphs over the tunnel with the persistent
+    cache), and the input fast-forward (O(steps-so-far) host work) —
+    hence opt-in via --train_subprocess_steps, not auto like the eval
+    mitigation.
+    """
+    import subprocess
+    import sys
+
+    total = int(options["training_steps"])
+    model_dir = run_config.model_dir
+    cfg_dir = os.path.join(model_dir, "result")
+    os.makedirs(cfg_dir, exist_ok=True)
+    cfg_path = os.path.join(cfg_dir, "train_child_config.gin")
+    with open(cfg_path, "w") as f:
+        f.write(gin.config_str())
+    env = dict(os.environ)
+    # Children must not write the TRAIN_DONE marker at their (interim)
+    # bound: a concurrent continuous_eval worker polling the model_dir
+    # would take it as end-of-run and exit early. The parent marks done
+    # once (run_with_schedule).
+    env["COMPARE_GAN_TRAIN_CHILD"] = "1"
+    # Same platform forwarding as the eval children: propagate the
+    # SELECTOR (jax.config.jax_platforms), which round-trips, not the
+    # backend name (see _eval_checkpoint_in_subprocess).
+    platforms = jax.config.jax_platforms
+    if platforms:
+        env["COMPARE_GAN_CHILD_PLATFORM"] = platforms
+    else:
+        env.pop("COMPARE_GAN_CHILD_PLATFORM", None)
+    while True:
+        latest = ckpt_lib.latest_checkpoint(model_dir)
+        done = ckpt_lib.step_of(latest) if latest else 0
+        if done >= total:
+            return
+        bound = min(done + chunk_steps, total)
+        # The gin snapshot carries the parent's full config; run_config
+        # values are re-bound explicitly because the parent's RunConfig
+        # may have been built programmatically (not via gin) and the
+        # chunk bound must override the snapshot's training_steps.
+        argv = [sys.executable, "-m", "compare_gan_tpu.main",
+                f"--model_dir={model_dir}",
+                "--schedule=train",
+                f"--gin_config={cfg_path}",
+                f"--gin_bindings=options.training_steps = {bound}",
+                f"--gin_bindings=run_config.iterations_per_loop = "
+                f"{run_config.iterations_per_loop}",
+                f"--gin_bindings=run_config.save_checkpoints_steps = "
+                f"{run_config.save_checkpoints_steps}",
+                f"--gin_bindings=run_config.keep_checkpoint_max = "
+                f"{run_config.keep_checkpoint_max}",
+                "--train_subprocess_steps=0"]
+        if run_config.tf_random_seed is not None:
+            argv.append(f"--gin_bindings=run_config.tf_random_seed = "
+                        f"{run_config.tf_random_seed}")
+        if run_config.num_devices is not None:
+            argv.append(f"--num_devices={run_config.num_devices}")
+        if datasets.FAKE_DATASET:
+            argv.append("--data_fake_dataset")
+        logging.info("Training chunk %d -> %d (of %d) in subprocess.",
+                     done, bound, total)
+        # stdio is inherited (not captured): training logs stream live
+        # and a long chunk's output never accumulates in parent memory.
+        try:
+            proc = subprocess.run(argv, env=env,
+                                  timeout=timeout_per_chunk)
+        except subprocess.TimeoutExpired as e:
+            raise RuntimeError(
+                f"Training chunk subprocess (steps {done}->{bound}) timed "
+                f"out after {timeout_per_chunk}s.") from e
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"Training chunk subprocess (steps {done}->{bound}) "
+                f"failed with rc {proc.returncode}; see its log output "
+                "above.")
+        latest = ckpt_lib.latest_checkpoint(model_dir)
+        new_done = ckpt_lib.step_of(latest) if latest else 0
+        if new_done <= done:
+            raise RuntimeError(
+                f"Training chunk subprocess exited 0 but did not advance "
+                f"the checkpoint (still at step {new_done}); aborting "
+                "instead of respawning forever.")
+
+
 def _run_eval(gan, checkpoints, task_manager, run_config, batch_size,
               num_averaging_runs, eval_tasks=None,
               subprocess_per_checkpoint=False):
@@ -572,12 +675,18 @@ def run_with_schedule(schedule, run_config: RunConfig,
                       task_manager: TaskManager, options: Dict,
                       num_eval_averaging_runs=1, eval_every_steps=None,
                       eval_batch_size=64,
-                      eval_subprocess_per_checkpoint=None):
+                      eval_subprocess_per_checkpoint=None,
+                      train_subprocess_steps=0):
     """Train / eval_after_train / continuous_eval (runner_lib.py:280-354).
 
     eval_subprocess_per_checkpoint: True/False force; None = auto
     (enabled on the leaking tunneled-TPU backend, see
-    _eval_subprocess_default)."""
+    _eval_subprocess_default).
+
+    train_subprocess_steps: when > 0, run the training phase as
+    bounded-step child processes (at most this many steps each) so the
+    parent's host RSS stays flat on the tunneled-TPU backend — see
+    _train_in_subprocess_chunks. 0 (default) trains in-process."""
     if eval_subprocess_per_checkpoint is None:
         eval_subprocess_per_checkpoint = _eval_subprocess_default()
         if eval_subprocess_per_checkpoint:
@@ -597,10 +706,23 @@ def run_with_schedule(schedule, run_config: RunConfig,
                                model_dir=run_config.model_dir)
 
     if schedule in {"train", "eval_after_train"}:
-        train(gan, run_config, task_manager,
-              batch_size=options["batch_size"],
-              max_steps=options["training_steps"])
-        if jax.process_index() == 0:
+        if train_subprocess_steps:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "--train_subprocess_steps is a single-process "
+                    "mitigation; it cannot combine with --multihost "
+                    "(each chunk child would need to re-form the "
+                    "distributed mesh).")
+            _train_in_subprocess_chunks(run_config, options,
+                                        train_subprocess_steps)
+        else:
+            train(gan, run_config, task_manager,
+                  batch_size=options["batch_size"],
+                  max_steps=options["training_steps"])
+        # Chunk children skip the marker (interim bounds are not
+        # end-of-run for continuous_eval pollers); their parent owns it.
+        if jax.process_index() == 0 \
+                and not os.environ.get("COMPARE_GAN_TRAIN_CHILD"):
             task_manager.mark_training_done()
 
     if schedule == "continuous_eval":
