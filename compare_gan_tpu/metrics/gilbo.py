@@ -16,6 +16,7 @@ math.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 
@@ -224,12 +225,29 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
         os.makedirs(outdir, exist_ok=True)
 
     _, x0 = gen(ts, jax.random.fold_in(init_key, 0))
+    # Fingerprint of the GENERATOR under evaluation (a fixed-key sample
+    # is a pure function of its weights): the resumable outdir must not
+    # hand a regressor trained against checkpoint A to an eval of
+    # checkpoint B — with a static `GILBOTask.outdir` in a
+    # multi-checkpoint eval loop, every checkpoint after the first would
+    # otherwise silently reuse the first one's regressor (round-5
+    # review). Stamped into the meta at save, checked at resume.
+    gen_fp = hashlib.sha256(np.asarray(x0).tobytes()).hexdigest()[:16]
     _, params, _ = core.init(fwd, jax.random.fold_in(init_key, 1), x0)
     opt_state = tx.init(params)
     log_pz = -z_dim * np.log(2.0)
 
     resume = (_load_latest_regressor_ckpt(outdir, params)
               if outdir is not None else None)
+    if resume is not None and \
+            resume["meta"].get("gen_fp", gen_fp) != gen_fp:
+        # (Checkpoints predating the stamp resume as before.)
+        logging.warning(
+            "Ignoring GILBO regressor checkpoint trained against a "
+            "DIFFERENT generator (fingerprint %s != %s) — the outdir is "
+            "shared across GAN checkpoints; retraining.",
+            resume["meta"]["gen_fp"], gen_fp)
+        resume = None
     # Only adopt a checkpoint written by the SAME training protocol; a
     # mode mismatch (fixed-steps outdir reused for the cycle protocol or
     # vice versa) silently continuing would neither match an unbroken run
@@ -265,7 +283,7 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
                 ts, params, opt_state, jax.random.fold_in(train_key, i))
         if outdir is not None and start_step < train_steps:
             _save_regressor_ckpt(outdir, 0, params, opt_state,
-                                 dict(steps=train_steps))
+                                 dict(steps=train_steps, gen_fp=gen_fp))
     else:
         # Reference protocol (gilbo.py:216-266), same knobs and defaults.
         lr_scale = options.get("gilbo_lr_scale", 0.5)
@@ -316,7 +334,7 @@ def train_gilbo(gan, ts, train_images=None, eval_images=None,
                 _save_regressor_ckpt(
                     outdir, cycle + 1, params, opt_state,
                     dict(cycle=cycle + 1, lr=lr, ais=ais, min_ai=min_ai,
-                         step_index=step_index))
+                         step_index=step_index, gen_fp=gen_fp))
 
     # Evaluation pass; the first ≤1000 samples' posteriors and images go
     # into eval_dists.p for separate analysis (reference gilbo.py:295-320).

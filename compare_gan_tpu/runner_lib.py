@@ -555,6 +555,27 @@ def _train_in_subprocess_chunks(run_config: RunConfig, options: Dict,
     import sys
 
     total = int(options["training_steps"])
+    # Children rebuild their options from the gin snapshot; a caller
+    # that built or mutated `options` programmatically (outside gin)
+    # would silently train the children with DIFFERENT options, breaking
+    # the advertised chunked==unbroken equality. training_steps is the
+    # one exception — the chunk bound re-binds it explicitly below.
+    try:
+        snapshot_options = get_options_dict()
+    except gin.ConfigError as e:
+        raise ValueError(
+            "--train_subprocess_steps reconstructs each training chunk "
+            "from the gin config; bind options.* in gin (the snapshot "
+            f"cannot resolve them: {e}).") from e
+    mismatched = {k: (options[k], snapshot_options[k])
+                  for k in snapshot_options
+                  if k != "training_steps" and k in options
+                  and options[k] != snapshot_options[k]}
+    if mismatched:
+        raise ValueError(
+            "--train_subprocess_steps requires the training options to "
+            "come from gin (children are rebuilt from the snapshot), but "
+            f"these differ from the gin-resolved values: {mismatched}.")
     model_dir = run_config.model_dir
     cfg_dir = os.path.join(model_dir, "result")
     os.makedirs(cfg_dir, exist_ok=True)

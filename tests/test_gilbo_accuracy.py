@@ -354,3 +354,27 @@ def test_gilbo_fixed_steps_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(second),
                                   np.asarray(first))
     assert (tmp_path / "gilbo_model-00000.p").stat().st_mtime_ns == mtime
+
+
+def test_gilbo_outdir_not_reused_across_generators(tmp_path):
+    """A static outdir shared across GAN checkpoints must not hand
+    checkpoint A's regressor to an eval of checkpoint B: the saved meta
+    carries a generator fingerprint (fixed-key sample hash) and a
+    mismatch retrains from scratch instead of silently resuming."""
+    gan = _gan()
+    ts_a = gan.init_state(jax.random.PRNGKey(0), 8)
+    ts_b = gan.init_state(jax.random.PRNGKey(1), 8)
+    shared = tmp_path / "shared"
+    gilbo_lib.train_gilbo(gan, ts_a, batch_size=8, eval_batches=2,
+                          train_steps=3, outdir=str(shared))
+    got = gilbo_lib.train_gilbo(gan, ts_b, batch_size=8, eval_batches=2,
+                                train_steps=3, outdir=str(shared))
+    fresh = gilbo_lib.train_gilbo(gan, ts_b, batch_size=8, eval_batches=2,
+                                  train_steps=3,
+                                  outdir=str(tmp_path / "fresh"))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(fresh))
+    # Same generator in the same outdir still resumes (eval-phase
+    # interruption contract unchanged).
+    again = gilbo_lib.train_gilbo(gan, ts_b, batch_size=8, eval_batches=2,
+                                  train_steps=3, outdir=str(shared))
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(got))

@@ -121,3 +121,14 @@ def test_train_child_env_skips_done_marker(tmp_path, monkeypatch):
     assert not tm.is_training_done()
     assert ckpt_lib.step_of(
         ckpt_lib.latest_checkpoint(str(tmp_path))) == 2
+
+
+def test_chunked_train_rejects_non_gin_options(tmp_path):
+    """Children are rebuilt from the gin snapshot: programmatically
+    mutated options (diverging from gin) must be rejected, not silently
+    ignored."""
+    opts = dict(_options(4))
+    opts["batch_size"] = opts["batch_size"] * 2
+    with pytest.raises(ValueError, match="differ from the gin-resolved"):
+        runner_lib._train_in_subprocess_chunks(
+            _run_config(tmp_path), opts, 2)

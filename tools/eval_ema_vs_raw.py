@@ -45,9 +45,14 @@ def evaluate_model_dir(gan, model_dir, batch_size=64, out_path=None,
     # The raw-G view shares the jit cache (copy.copy aliases the
     # attribute values, including _eval_jit_cache): samplers/accu-fill
     # take params as jit ARGUMENTS, so one compiled fn serves both param
-    # sets — only _inference_params' host-side selection differs.
+    # sets — only _inference_params' host-side selection differs. The
+    # cache is created lazily, so force it into existence BEFORE the
+    # copy — copying first would leave each view with its own dict and
+    # every eval fn compiling twice (round-5 review).
+    eval_gan_lib._jit_cache(gan)
     raw_gan = copy.copy(gan)
     raw_gan._g_use_ema = False
+    assert raw_gan._eval_jit_cache is gan._eval_jit_cache
 
     task = fid_score.FIDScoreTask()
     rows = []

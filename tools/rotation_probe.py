@@ -25,7 +25,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -109,6 +108,10 @@ def probe_dataset(dataset: str, n_train: int = 4096, n_test: int = 1024,
         return jnp.mean(jnp.argmax(logits_fn(params, x), -1) == y)
 
     n = train_x.shape[0]
+    # A probe dataset smaller than the batch would make the sliding-
+    # window divisor non-positive (negative `lo`, mis-sized slices) —
+    # train on full-dataset batches instead.
+    batch_size = min(batch_size, n)
     for step in range(steps):
         lo = (step * batch_size) % (n - batch_size + 1)
         params, opt_state, _ = train_step(

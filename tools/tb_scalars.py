@@ -27,6 +27,18 @@ def read_scalars(model_dir):
     """{tag: [(step, value), ...]} from TB event files and/or the JSONL
     fallback, steps sorted, later duplicates (restarts) winning."""
     series = collections.defaultdict(dict)
+    # JSONL fallback rows first, TB event rows second: a run that
+    # restarted in a TF-capable environment re-emits its scalars into
+    # event files, and those must win over the pre-restart fallback rows
+    # for the same (tag, step) — reading JSONL last would resurrect the
+    # stale values (round-5 review).
+    for path in sorted(glob.glob(os.path.join(model_dir,
+                                              "summaries*.jsonl"))):
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                if "value" in row:
+                    series[row["tag"]][row["step"]] = row["value"]
     event_files = sorted(glob.glob(
         os.path.join(model_dir, "events.out.tfevents.*")))
     if event_files:
@@ -45,13 +57,6 @@ def read_scalars(model_dir):
                         series[v.tag][ev.step] = val
                     elif v.HasField("simple_value"):
                         series[v.tag][ev.step] = float(v.simple_value)
-    for path in sorted(glob.glob(os.path.join(model_dir,
-                                              "summaries*.jsonl"))):
-        with open(path) as f:
-            for line in f:
-                row = json.loads(line)
-                if "value" in row:
-                    series[row["tag"]][row["step"]] = row["value"]
     return {tag: sorted(by_step.items())
             for tag, by_step in series.items()}
 
